@@ -1,0 +1,27 @@
+"""Test env: force CPU jax with 8 virtual devices so multi-chip sharding
+logic is testable without TPUs.
+
+jax is pre-imported at interpreter startup in this image, so env vars are
+too late for config defaults — use jax.config.update before any backend
+initialization instead. XLA_FLAGS is still read at backend-init time.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

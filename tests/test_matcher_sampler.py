@@ -1,0 +1,72 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cpm_tpu.utils.matcher import (
+    BELOW_LOW_THRESHOLD,
+    BETWEEN_THRESHOLDS,
+    match_boxes,
+)
+from cpm_tpu.utils.sampler import balanced_sample
+
+
+def _np_match(quality, high, low, allow_low_quality):
+    """Reference Matcher (matcher.py:45-111) in numpy."""
+    matched_vals = quality.max(axis=0)
+    matches = quality.argmax(axis=0)
+    all_matches = matches.copy()
+    matches = np.where(matched_vals < low, BELOW_LOW_THRESHOLD, matches)
+    matches = np.where(
+        (matched_vals >= low) & (matched_vals < high), BETWEEN_THRESHOLDS, matches
+    )
+    if allow_low_quality:
+        highest_per_gt = quality.max(axis=1)
+        gt_idx, pred_idx = np.nonzero(quality == highest_per_gt[:, None])
+        matches[pred_idx] = all_matches[pred_idx]
+    return matches
+
+
+def test_matcher_matches_reference(rng):
+    for allow in (False, True):
+        q = rng.rand(6, 40).astype(np.float32)
+        gt_mask = np.ones(6, bool)
+        got = np.asarray(
+            match_boxes(jnp.asarray(q), jnp.asarray(gt_mask), 0.7, 0.3, allow)
+        )
+        want = _np_match(q, 0.7, 0.3, allow)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_matcher_padded_gt_rows_ignored(rng):
+    q = rng.rand(6, 20).astype(np.float32)
+    gt_mask = np.array([True, True, True, False, False, False])
+    got = np.asarray(
+        match_boxes(jnp.asarray(q), jnp.asarray(gt_mask), 0.7, 0.3, False)
+    )
+    want = _np_match(q[:3], 0.7, 0.3, False)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_balanced_sample_counts(rng):
+    n = 200
+    pos = jnp.asarray(rng.rand(n) < 0.4)
+    neg = jnp.asarray(~np.asarray(pos) & (rng.rand(n) < 0.9))
+    key = jax.random.PRNGKey(0)
+    sp, sn = balanced_sample(pos, neg, 64, 0.25, key)
+    sp, sn = np.asarray(sp), np.asarray(sn)
+    assert sp.sum() == min(int(np.asarray(pos).sum()), 16)
+    assert sn.sum() == min(int(np.asarray(neg).sum()), 64 - sp.sum())
+    assert not np.any(sp & ~np.asarray(pos))
+    assert not np.any(sn & ~np.asarray(neg))
+
+
+def test_balanced_sample_few_positives(rng):
+    n = 100
+    pos = np.zeros(n, bool)
+    pos[:3] = True
+    neg = ~pos
+    sp, sn = balanced_sample(
+        jnp.asarray(pos), jnp.asarray(neg), 64, 0.25, jax.random.PRNGKey(1)
+    )
+    assert int(np.asarray(sp).sum()) == 3
+    assert int(np.asarray(sn).sum()) == 61
