@@ -1,0 +1,319 @@
+"""ResNet / ResNeXt detection backbones (Flax, NHWC).
+
+Capability parity with /root/reference/pet/models/imagenet/resnet.py:14-260
+(BasicBlock/Bottleneck with per-stage conv + context options) and the
+detection wrappers pet/rcnn/modeling/backbone/ResNet.py:24-148 /
+ResNeXt.py:19-132 (returns [C2..C5], spatial scales 1/4..1/32, freeze-at
+semantics, C5 dilation). ResNeXt = Bottleneck with grouped 3x3
+(feature_group_count = cardinality), matching resnext.py:16-120.
+
+TPU-first choices:
+  * NHWC layout (XLA's native conv layout on TPU).
+  * Frozen BN is an AffineChannel — a fused scale+bias, no batch stats.
+  * Parameter freezing (FREEZE_AT / affine freeze) is done by optimizer
+    masks over param paths, not in-module mutation; modules here just
+    declare params. See cpm_tpu/solver/optimizer.py.
+  * Deform-conv stages use the gather+matmul kernel in
+    cpm_tpu.ops.deform_conv.
+"""
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cpm_tpu.modeling import registry
+from cpm_tpu.modeling.context import make_context
+from cpm_tpu.modeling.norm import make_norm
+from cpm_tpu.ops.deform_conv import DeformConvPack, ModulatedDeformConvPack
+
+
+def _conv_op(conv: str, features: int, stride: int, dilation: int, name: str):
+    """3x3 conv selected by the stage's conv option (resnet.py:20-28)."""
+    if conv == "normal":
+        return nn.Conv(
+            features,
+            (3, 3),
+            strides=(stride, stride),
+            padding=dilation,
+            kernel_dilation=(dilation, dilation),
+            use_bias=False,
+            name=name,
+        )
+    if conv == "deform":
+        return DeformConvPack(
+            features, 3, stride=stride, dilation=dilation, name=name
+        )
+    if conv == "deformv2":
+        return ModulatedDeformConvPack(
+            features, 3, stride=stride, dilation=dilation, name=name
+        )
+    raise ValueError(f"unsupported conv op: {conv}")
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 (stride placement per stride_3x3) -> 1x1 with residual.
+
+    Mirrors resnet.py:71-137. `groups`>1 gives the ResNeXt variant
+    (resnext.py:70-120: grouped 3x3, width = planes * base_width/64 *
+    cardinality scaling).
+    """
+
+    planes: int
+    base_width: int = 64
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    norm: str = "affine"
+    conv: str = "normal"
+    context: str = "none"
+    ctx_ratio: float = 0.0625
+    stride_3x3: bool = False
+    avg_down: bool = False
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        s1, s3 = (1, self.stride) if self.stride_3x3 else (self.stride, 1)
+        if self.groups == 1:
+            width = int(self.planes * (self.base_width / 64.0))
+        else:
+            # ResNeXt width rule (resnext.py:79): planes * (base_width/64) * C... the
+            # standard 32x4d/64x4d widths come out as planes//2*groups*width/64*2.
+            width = int(
+                math.floor(self.planes * (self.base_width / 64.0)) * self.groups
+            )
+        out_dim = self.planes * self.expansion
+
+        h = nn.Conv(
+            width, (1, 1), strides=(s1, s1), use_bias=False, name="conv1"
+        )(x)
+        h = make_norm(width, self.norm)(h) if self.norm != "none" else h
+        h = nn.relu(h)
+
+        if self.groups == 1:
+            h = _conv_op(self.conv, width, s3, self.dilation, "conv2")(h)
+        else:
+            if self.conv != "normal":
+                # grouped deformable 3x3 (ResNeXt-DCN configs)
+                h = _conv_op(self.conv, width, s3, self.dilation, "conv2")(h)
+            else:
+                h = nn.Conv(
+                    width,
+                    (3, 3),
+                    strides=(s3, s3),
+                    padding=self.dilation,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=self.groups,
+                    use_bias=False,
+                    name="conv2",
+                )(h)
+        h = make_norm(width, self.norm)(h)
+        h = nn.relu(h)
+
+        h = nn.Conv(out_dim, (1, 1), use_bias=False, name="conv3")(h)
+        h = make_norm(out_dim, self.norm)(h)
+
+        ctx = make_context(out_dim, self.context, self.ctx_ratio)
+        if ctx is not None:
+            h = ctx(h)
+
+        if self.downsample:
+            r = x
+            if self.avg_down and self.stride > 1:
+                r = nn.avg_pool(
+                    r,
+                    (self.stride, self.stride),
+                    strides=(self.stride, self.stride),
+                )
+                r = nn.Conv(
+                    out_dim, (1, 1), use_bias=False, name="downsample_conv"
+                )(r)
+            else:
+                r = nn.Conv(
+                    out_dim,
+                    (1, 1),
+                    strides=(self.stride, self.stride),
+                    use_bias=False,
+                    name="downsample_conv",
+                )(r)
+            r = make_norm(out_dim, self.norm)(r)
+        else:
+            r = x
+        return nn.relu(h + r)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with residual (resnet.py:14-68)."""
+
+    planes: int
+    base_width: int = 64
+    stride: int = 1
+    dilation: int = 1
+    norm: str = "affine"
+    conv: str = "normal"
+    context: str = "none"
+    ctx_ratio: float = 0.0625
+    avg_down: bool = False
+    downsample: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        width = int(self.planes * (self.base_width / 64.0))
+        h = _conv_op(self.conv, width, self.stride, self.dilation, "conv1")(x)
+        h = make_norm(width, self.norm)(h)
+        h = nn.relu(h)
+        h = _conv_op(self.conv, width, 1, self.dilation, "conv2")(h)
+        h = make_norm(width, self.norm)(h)
+        ctx = make_context(width, self.context, self.ctx_ratio)
+        if ctx is not None:
+            h = ctx(h)
+        if self.downsample:
+            r = nn.Conv(
+                width,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                name="downsample_conv",
+            )(x)
+            r = make_norm(width, self.norm)(r)
+        else:
+            r = x
+        return nn.relu(h + r)
+
+
+class ResNetBody(nn.Module):
+    """Detection trunk returning [C2, C3, C4, C5] NHWC feature maps.
+
+    Matches ResNet.forward (backbone/ResNet.py:123-148): 7x7/2 stem (or
+    3x3x3 stem), 3x3/2 maxpool, four stages with strides (1,2,2,2) and
+    optional C5 dilation.
+    """
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    bottleneck: bool = True
+    groups: int = 1  # ResNeXt cardinality; 1 = plain ResNet
+    stride_3x3: bool = False
+    avg_down: bool = False
+    use_3x3x3stem: bool = False
+    norm: str = "affine"
+    stage_with_conv: Sequence[str] = ("normal",) * 4
+    stage_with_context: Sequence[str] = ("none",) * 4
+    ctx_ratio: float = 0.0625
+    c5_dilation: int = 1
+
+    @property
+    def dim_out(self) -> Tuple[int, ...]:
+        e = 4 if self.bottleneck else 1
+        return tuple(64 * e * (2**i) for i in range(len(self.layers)))
+
+    @property
+    def spatial_scale(self) -> Tuple[float, ...]:
+        scales = [1 / 4.0, 1 / 8.0, 1 / 16.0]
+        if len(self.layers) == 4:
+            scales.append(1 / 32.0 * self.c5_dilation)
+        return tuple(scales)
+
+    @nn.compact
+    def __call__(self, x):
+        norm = self.norm
+        if not self.use_3x3x3stem:
+            h = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                name="conv1",
+            )(x)
+            h = make_norm(64, norm)(h)
+            h = nn.relu(h)
+        else:
+            h = nn.Conv(
+                32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                name="conv1",
+            )(x)
+            h = make_norm(32, norm)(h)
+            h = nn.relu(h)
+            h = nn.Conv(
+                32, (3, 3), padding=1, use_bias=False, name="conv2"
+            )(h)
+            h = make_norm(32, norm)(h)
+            h = nn.relu(h)
+            h = nn.Conv(
+                64, (3, 3), padding=1, use_bias=False, name="conv3"
+            )(h)
+            h = make_norm(64, norm)(h)
+            h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        planes = (64, 128, 256, 512)
+        strides = (1, 2, 2, 2)
+        dilations = [1, 1, 1, 1]
+        if len(self.layers) == 4 and self.c5_dilation != 1:
+            strides = (1, 2, 2, 1)
+            dilations[3] = self.c5_dilation
+        block_cls = Bottleneck if self.bottleneck else BasicBlock
+        for i, n_blocks in enumerate(self.layers):
+            for b in range(n_blocks):
+                kw: Any = dict(
+                    planes=planes[i],
+                    base_width=self.width,
+                    stride=strides[i] if b == 0 else 1,
+                    dilation=dilations[i],
+                    norm=norm,
+                    conv=self.stage_with_conv[i],
+                    context=self.stage_with_context[i],
+                    ctx_ratio=self.ctx_ratio,
+                    avg_down=self.avg_down,
+                    downsample=(b == 0),
+                    name=f"layer{i + 1}_{b}",
+                )
+                if self.bottleneck:
+                    kw.update(
+                        groups=self.groups, stride_3x3=self.stride_3x3
+                    )
+                h = block_cls(**kw)(h)
+            feats.append(h)
+        return feats
+
+
+@registry.BACKBONES.register("resnet")
+def build_resnet(cfg):
+    r = cfg.BACKBONE.RESNET
+    norm = "gn" if r.USE_GN else "affine"
+    return ResNetBody(
+        layers=tuple(r.LAYERS),
+        width=r.WIDTH,
+        bottleneck=r.BOTTLENECK,
+        groups=1,
+        stride_3x3=r.STRIDE_3X3,
+        avg_down=r.AVG_DOWN,
+        use_3x3x3stem=r.USE_3x3x3HEAD,
+        norm=norm,
+        stage_with_conv=tuple(r.STAGE_WITH_CONV),
+        stage_with_context=tuple(r.STAGE_WITH_CONTEXT),
+        ctx_ratio=r.CTX_RATIO,
+        c5_dilation=r.C5_DILATION,
+    )
+
+
+@registry.BACKBONES.register("resnext")
+def build_resnext(cfg):
+    r = cfg.BACKBONE.RESNEXT
+    norm = "gn" if r.USE_GN else "affine"
+    return ResNetBody(
+        layers=tuple(r.LAYERS),
+        width=r.WIDTH,
+        bottleneck=True,
+        groups=r.C,
+        stride_3x3=True,  # ResNeXt puts the stride on the grouped 3x3
+        avg_down=r.AVG_DOWN,
+        use_3x3x3stem=r.USE_3x3x3HEAD,
+        norm=norm,
+        stage_with_conv=tuple(r.STAGE_WITH_CONV),
+        stage_with_context=tuple(r.STAGE_WITH_CONTEXT),
+        ctx_ratio=r.CTX_RATIO,
+        c5_dilation=r.C5_DILATION,
+    )

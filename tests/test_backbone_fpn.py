@@ -1,0 +1,83 @@
+"""Backbone + FPN shape and wiring tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpm_tpu.config import get_default_cfg
+from cpm_tpu.modeling import registry
+from cpm_tpu.modeling.backbone.resnet import ResNetBody
+from cpm_tpu.modeling.fpn import FPN, build_fpn, nearest_upsample_2x
+
+
+def test_resnet50_shapes():
+    body = ResNetBody(layers=(2, 2, 2, 2))  # shallow for test speed
+    x = jnp.zeros((1, 64, 64, 3))
+    params = body.init(jax.random.PRNGKey(0), x)
+    feats = body.apply(params, x)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 256),
+        (1, 8, 8, 512),
+        (1, 4, 4, 1024),
+        (1, 2, 2, 2048),
+    ]
+    assert body.dim_out == (256, 512, 1024, 2048)
+    assert body.spatial_scale == (0.25, 0.125, 0.0625, 0.03125)
+
+
+def test_resnext_grouped_width():
+    body = ResNetBody(layers=(1, 1, 1, 1), width=4, groups=32, stride_3x3=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = body.init(jax.random.PRNGKey(0), x)
+    # stage-1 grouped conv width must be 128 for 32x4d
+    k = params["params"]["layer1_0"]["conv2"]["kernel"]
+    assert k.shape[-1] == 128
+    feats = body.apply(params, x)
+    assert feats[-1].shape[-1] == 2048
+
+
+def test_fpn_levels():
+    fpn = FPN(fpn_dim=256)
+    feats = [
+        jnp.zeros((1, 16, 16, 256)),
+        jnp.zeros((1, 8, 8, 512)),
+        jnp.zeros((1, 4, 4, 1024)),
+        jnp.zeros((1, 2, 2, 2048)),
+    ]
+    params = fpn.init(jax.random.PRNGKey(0), feats)
+    outs = fpn.apply(params, feats)
+    assert len(outs) == 5  # P2..P6
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
+    assert all(o.shape[-1] == 256 for o in outs)
+
+
+def test_nearest_upsample():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = nearest_upsample_2x(x)
+    np.testing.assert_array_equal(
+        y[0, :, :, 0],
+        [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]],
+    )
+
+
+def test_registry_builders():
+    cfg = get_default_cfg()
+    body = registry.BACKBONES["resnet"](cfg)
+    assert isinstance(body, ResNetBody)
+    neck = build_fpn(cfg)
+    assert isinstance(neck, FPN)
+
+
+def test_deform_conv_matches_regular_when_offsets_zero():
+    from cpm_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    offset = jnp.zeros((1, 8, 8, 18))
+    out = deform_conv2d(x, w, offset, None, stride=1, padding=1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
