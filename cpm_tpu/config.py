@@ -12,6 +12,7 @@ tuple/list coercion handled against the default's type.
 """
 
 import ast
+import types
 import copy
 import os
 
@@ -468,3 +469,24 @@ def assert_and_infer_cfg(target=None, make_immutable=True):
     if make_immutable:
         target.immutable(True)
     return target
+
+
+class _CfgNS(types.SimpleNamespace):
+    """Attribute-only view of a config tree for use inside Flax modules.
+
+    Flax linen converts plain-dict module attributes into FrozenDict (losing
+    attribute access), so model code receives this namespace instead. Lists
+    become tuples; it is read-only by convention.
+    """
+
+    def __getitem__(self, k):
+        return getattr(self, k)
+
+
+def freeze_to_ns(tree):
+    """Recursively convert an AttrDict config into a _CfgNS namespace."""
+    if isinstance(tree, dict):
+        return _CfgNS(**{k: freeze_to_ns(v) for k, v in tree.items()})
+    if isinstance(tree, list):
+        return tuple(freeze_to_ns(v) for v in tree)
+    return tree

@@ -1,0 +1,299 @@
+"""Generalized R-CNN model builder.
+
+Parity with /root/reference/pet/rcnn/modeling/model_builder.py:19-195: wires
+Conv_Body -> FPN -> RPN -> one RoI-head family chosen by config flags
+(:31-59, dispatch map in SURVEY §3.3). Train forward returns a loss dict;
+test forward returns fixed-shape Detections.
+
+TPU-native: one Flax module; the whole forward (train step and test step)
+is jittable with static shapes. Batched images arrive padded (ImageBatch),
+ground truth arrives as padded [B, G, ...] arrays with masks. Sampling
+randomness comes from the flax 'sample' RNG stream.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cpm_tpu.modeling import registry
+import cpm_tpu.modeling.backbone  # noqa: F401  (registers backbones)
+from cpm_tpu.modeling.fpn import get_min_max_levels
+from cpm_tpu.modeling.roi_heads.box_head import (
+    BoxOutput,
+    Detections,
+    decode_boxes_per_class,
+    fast_rcnn_losses,
+    filter_detections,
+)
+from cpm_tpu.modeling.roi_heads.targets import (
+    rois_with_batch_index,
+    subsample_rois,
+)
+from cpm_tpu.modeling.rpn import (
+    AnchorLayout,
+    RPNHead,
+    rpn_losses,
+    select_proposals,
+)
+from cpm_tpu.ops.box_coder import BoxCoder
+
+
+def _roi_scales(cfg):
+    """Backbone/FPN spatial scales for the RoI levels [P2..P5]."""
+    n = cfg.FPN.ROI_MAX_LEVEL - cfg.FPN.ROI_MIN_LEVEL + 1
+    base = 0.5 ** cfg.FPN.ROI_MIN_LEVEL
+    return tuple(base * (0.5**i) for i in range(n))
+
+
+class FastRCNNHead(nn.Module):
+    """Fast R-CNN RoI family (fast_rcnn/fast_rcnn.py:12-75)."""
+
+    cfg: Any
+
+    def setup(self):
+        c = self.cfg
+        head_cls = registry.ROI_BOX_HEADS[c.FAST_RCNN.ROI_BOX_HEAD]
+        scales = _roi_scales(c)
+        if c.FAST_RCNN.ROI_BOX_HEAD == "roi_2mlp_head":
+            self.head = head_cls(
+                resolution=tuple(c.FAST_RCNN.ROI_XFORM_RESOLUTION),
+                scales=scales,
+                sampling_ratio=c.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+                mlp_dim=c.FAST_RCNN.MLP_HEAD.MLP_DIM,
+            )
+        else:
+            self.head = head_cls(
+                resolution=tuple(c.FAST_RCNN.ROI_XFORM_RESOLUTION),
+                scales=scales,
+                sampling_ratio=c.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+                conv_dim=c.FAST_RCNN.CONVFC_HEAD.CONV_DIM,
+                num_stacked_convs=c.FAST_RCNN.CONVFC_HEAD.NUM_STACKED_CONVS,
+                mlp_dim=c.FAST_RCNN.CONVFC_HEAD.MLP_DIM,
+                dilation=c.FAST_RCNN.CONVFC_HEAD.DILATION,
+            )
+        self.output = BoxOutput(
+            num_classes=c.MODEL.NUM_CLASSES,
+            cls_agnostic_bbox_reg=c.MODEL.CLS_AGNOSTIC_BBOX_REG,
+        )
+        self.box_coder = BoxCoder(weights=tuple(c.FAST_RCNN.BBOX_REG_WEIGHTS))
+
+    def __call__(
+        self,
+        features,
+        proposals,
+        prop_mask,
+        image_sizes,
+        gt=None,
+        train: bool = False,
+    ):
+        c = self.cfg
+        if train:
+            key = self.make_rng("sample")
+            sampled = subsample_rois(
+                jax.lax.stop_gradient(proposals),
+                prop_mask,
+                gt["boxes"],
+                gt["labels"],
+                gt["mask"],
+                key,
+                batch_size_per_image=c.FAST_RCNN.BATCH_SIZE_PER_IMAGE,
+                positive_fraction=c.FAST_RCNN.POSITIVE_FRACTION,
+                fg_iou_threshold=c.FAST_RCNN.FG_IOU_THRESHOLD,
+                bg_iou_threshold=c.FAST_RCNN.BG_IOU_THRESHOLD,
+                box_coder=self.box_coder,
+            )
+            rois = rois_with_batch_index(sampled.boxes)
+            x = self.head(features, rois, sampled.mask.reshape(-1))
+            cls_logits, box_reg = self.output(x)
+            loss_cls, loss_box = fast_rcnn_losses(
+                cls_logits,
+                box_reg,
+                sampled.labels.reshape(-1),
+                sampled.reg_targets.reshape(-1, 4),
+                sampled.mask.reshape(-1).astype(cls_logits.dtype),
+                smooth_l1_beta=c.FAST_RCNN.SMOOTH_L1_BETA,
+                cls_agnostic_bbox_reg=c.MODEL.CLS_AGNOSTIC_BBOX_REG,
+            )
+            return dict(loss_classifier=loss_cls, loss_box_reg=loss_box)
+
+        B, K = proposals.shape[:2]
+        rois = rois_with_batch_index(proposals)
+        x = self.head(features, rois, prop_mask.reshape(-1))
+        cls_logits, box_reg = self.output(x)
+        num_classes = c.MODEL.NUM_CLASSES
+        probs = jax.nn.softmax(cls_logits, axis=-1).reshape(B, K, num_classes)
+        boxes_pc = decode_boxes_per_class(
+            box_reg.reshape(B, K, -1),
+            proposals,
+            image_sizes,
+            self.box_coder,
+            num_classes,
+            c.MODEL.CLS_AGNOSTIC_BBOX_REG,
+        )
+        return filter_detections(
+            boxes_pc,
+            probs,
+            prop_mask,
+            score_thresh=c.FAST_RCNN.SCORE_THRESH,
+            nms_thresh=c.FAST_RCNN.NMS,
+            detections_per_img=c.FAST_RCNN.DETECTIONS_PER_IMG,
+            use_soft_nms=c.TEST.SOFT_NMS.ENABLED,
+            soft_nms_sigma=c.TEST.SOFT_NMS.SIGMA,
+            soft_nms_method=c.TEST.SOFT_NMS.METHOD,
+        )
+
+
+class GeneralizedRCNN(nn.Module):
+    """Backbone -> (FPN) -> RPN -> RoI head family."""
+
+    cfg: Any
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = registry.BACKBONES[c.BACKBONE.CONV_BODY](c)
+        if c.MODEL.FPN_ON:
+            self.fpn = registry.FPN_BODY[c.FPN.BODY](c)
+        num_cell_anchors = len(c.RPN.ASPECT_RATIOS) * (
+            1 if len(c.RPN.ANCHOR_STRIDE) > 1 else len(c.RPN.ANCHOR_SIZES)
+        )
+        self.rpn_head = RPNHead(num_anchors=num_cell_anchors)
+        self.rpn_box_coder = BoxCoder(weights=(1.0, 1.0, 1.0, 1.0))
+
+        if c.MODEL.FASTER_RCNN and not c.MODEL.CASCADE_ON:
+            self.roi_head = FastRCNNHead(c)
+        elif c.MODEL.FASTER_RCNN and c.MODEL.CASCADE_ON:
+            from cpm_tpu.modeling.roi_heads.cascade_head import CascadeRCNNHead
+            self.roi_head = CascadeRCNNHead(c)
+        elif c.MODEL.GRID_ON and not c.GRID_RCNN.CASCADE_MAPPING_ON:
+            from cpm_tpu.modeling.roi_heads.grid_head import GridRCNNHead
+            self.roi_head = GridRCNNHead(c)
+        elif c.MODEL.GRID_ON and c.GRID_RCNN.CASCADE_MAPPING_ON:
+            from cpm_tpu.modeling.roi_heads.grid_cascade_head import (
+                GridCascadeRCNNHead,
+            )
+            self.roi_head = GridCascadeRCNNHead(c)
+        elif not c.MODEL.RPN_ONLY:
+            raise ValueError("no RoI head family selected by config")
+
+    def _features(self, images):
+        feats = self.backbone(images)
+        if self.cfg.MODEL.FPN_ON:
+            feats = self.fpn(feats)
+        return feats
+
+    def _anchor_layout(self, feats):
+        c = self.cfg
+        strides = tuple(c.RPN.ANCHOR_STRIDE)
+        sizes = tuple(c.RPN.ANCHOR_SIZES)
+        feat_shapes = [tuple(f.shape[1:3]) for f in feats]
+        if len(strides) > 1:
+            feat_shapes = feat_shapes[: len(strides)]
+        else:
+            feat_shapes = feat_shapes[:1]
+        return AnchorLayout(
+            feat_shapes, strides, sizes, tuple(c.RPN.ASPECT_RATIOS),
+            straddle_thresh=c.RPN.STRADDLE_THRESH,
+        )
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        gt: Optional[dict] = None,
+        train: bool = False,
+    ):
+        """Train: returns dict of losses. Test: returns Detections."""
+        c = self.cfg
+        feats = self._features(images)
+        rpn_feats = feats if c.MODEL.FPN_ON else feats[-1:]
+        objectness, box_reg = self.rpn_head(rpn_feats)
+        layout = self._anchor_layout(rpn_feats)
+
+        kw = dict(
+            pre_nms_top_n=(
+                c.RPN.PRE_NMS_TOP_N_TRAIN if train else c.RPN.PRE_NMS_TOP_N_TEST
+            ),
+            post_nms_top_n=(
+                c.RPN.POST_NMS_TOP_N_TRAIN if train else c.RPN.POST_NMS_TOP_N_TEST
+            ),
+            nms_thresh=c.RPN.NMS_THRESH,
+            min_size=c.RPN.MIN_SIZE,
+            fpn_post_nms_top_n=(
+                c.RPN.FPN_POST_NMS_TOP_N_TRAIN
+                if train
+                else c.RPN.FPN_POST_NMS_TOP_N_TEST
+            ),
+            fpn_post_nms_per_batch=c.RPN.FPN_POST_NMS_PER_BATCH,
+            is_train=train,
+            box_coder=self.rpn_box_coder,
+        )
+
+        if train:
+            assert gt is not None
+            proposals, _, prop_mask = select_proposals(
+                layout,
+                [jax.lax.stop_gradient(o) for o in objectness],
+                [jax.lax.stop_gradient(b) for b in box_reg],
+                image_sizes,
+                gt_boxes=gt["boxes"],
+                gt_mask=gt["mask"],
+                **kw,
+            )
+            loss_obj, loss_rpn_box = rpn_losses(
+                layout,
+                objectness,
+                box_reg,
+                image_sizes,
+                gt["boxes"],
+                gt["mask"],
+                self.make_rng("sample"),
+                fg_iou_threshold=c.RPN.FG_IOU_THRESHOLD,
+                bg_iou_threshold=c.RPN.BG_IOU_THRESHOLD,
+                batch_size_per_image=c.RPN.BATCH_SIZE_PER_IMAGE,
+                positive_fraction=c.RPN.POSITIVE_FRACTION,
+                smooth_l1_beta=c.RPN.SMOOTH_L1_BETA,
+                box_coder=self.rpn_box_coder,
+            )
+            losses = dict(
+                loss_objectness=loss_obj, loss_rpn_box_reg=loss_rpn_box
+            )
+            if c.MODEL.RPN_ONLY:
+                return losses
+            head_losses = self.roi_head(
+                feats[: len(_roi_scales(c))],
+                proposals,
+                prop_mask,
+                image_sizes,
+                gt=gt,
+                train=True,
+            )
+            losses.update(head_losses)
+            return losses
+
+        proposals, scores, prop_mask = select_proposals(
+            layout, objectness, box_reg, image_sizes, **kw
+        )
+        if c.MODEL.RPN_ONLY:
+            return Detections(
+                boxes=proposals,
+                scores=scores,
+                labels=jnp.zeros(scores.shape, jnp.int32),
+                mask=prop_mask,
+            )
+        return self.roi_head(
+            feats[: len(_roi_scales(c))],
+            proposals,
+            prop_mask,
+            image_sizes,
+            train=False,
+        )
+
+
+def build_model(cfg) -> GeneralizedRCNN:
+    from cpm_tpu.config import freeze_to_ns
+
+    if isinstance(cfg, dict):
+        cfg = freeze_to_ns(cfg)
+    return GeneralizedRCNN(cfg)
