@@ -296,6 +296,10 @@ def _new_defaults():
     C.GRID_RCNN.IOU_LOSS_WEIGHT = 1.0
     C.GRID_RCNN.RESCORE_LOSS_WEIGHT = 1.0
     C.GRID_RCNN.SE_ON = False
+    # TPU-native addition: static cap on post-cls-NMS detections entering
+    # the grid cascade at test time (the reference's ml_nms output is
+    # unbounded; fixed shapes need a cap).
+    C.GRID_RCNN.TEST_MAX_DETECTIONS = 300
     C.GRID_RCNN.MLP_HEAD = AttrDict()
     C.GRID_RCNN.MLP_HEAD.MLP_DIM = 1024
     C.GRID_RCNN.MLP_HEAD.USE_BN = False

@@ -167,7 +167,9 @@ class GeneralizedRCNN(nn.Module):
             from cpm_tpu.modeling.roi_heads.cascade_head import CascadeRCNNHead
             self.roi_head = CascadeRCNNHead(c)
         elif c.MODEL.GRID_ON and not c.GRID_RCNN.CASCADE_MAPPING_ON:
-            from cpm_tpu.modeling.roi_heads.grid_head import GridRCNNHead
+            from cpm_tpu.modeling.roi_heads.grid_cascade_head import (
+                GridRCNNHead,
+            )
             self.roi_head = GridRCNNHead(c)
         elif c.MODEL.GRID_ON and c.GRID_RCNN.CASCADE_MAPPING_ON:
             from cpm_tpu.modeling.roi_heads.grid_cascade_head import (

@@ -1,0 +1,485 @@
+"""Grid R-CNN and CPM Grid-Cascade R-CNN head families.
+
+Reference:
+  * /root/reference/pet/rcnn/modeling/grid_cascade_rcnn/grid_cascade_rcnn.py
+    :15-309 — the CPM model: one cls branch + STAGE_NUM grid stages (CMM),
+    ISM IoU branch on the last stage, RSM rescoring head;
+  * grid_cascade_rcnn/loss.py — cls CE, per-stage positive-only matching,
+    grid BCE x LOSS_WEIGHT x stage weight, ISM L2;
+  * grid_cascade_rcnn/inference.py — CLSPostProcessor (per-class expansion
+    + ml_nms), GridPostProcessor (heatmap decode + train-time add-GT), RSM
+    score fusion score^0.8 * rescore^0.2 (:62-76);
+  * grid_rcnn/grid_rcnn.py:15-103 — the single-stage Grid R-CNN family,
+    implemented here as the 1-stage configuration of the same machinery.
+
+TPU-native: every stage runs on fixed-size padded roi sets
+([B, MAX_SAMPLE_NUM_GRID] for stage 0; +G slots for later stages after
+train-time add-GT). The reference's CPU rasterization/decode round trips
+are replaced by the vectorized device ops in grid_ops.py. Static python
+loop over stages (fixed STAGE_NUM) = XLA unrolled cascade.
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cpm_tpu.modeling.roi_heads.box_head import Detections, filter_detections
+from cpm_tpu.modeling.roi_heads.grid_modules import (
+    ClsHead,
+    ClsOutput,
+    GridHead,
+    GridOutput,
+)
+from cpm_tpu.modeling.roi_heads.grid_ops import (
+    better_roi_mask,
+    grid_decode,
+    grid_targets,
+    random_jitter_boxes,
+    resize_large_rois,
+)
+from cpm_tpu.modeling.roi_heads.targets import (
+    assign_targets,
+    compact_by_mask,
+    rois_with_batch_index,
+    subsample_rois,
+)
+from cpm_tpu.ops.box_coder import BoxCoder
+from cpm_tpu.ops.losses import l2_loss
+from cpm_tpu.structures.boxes import box_iou
+from cpm_tpu.utils.matcher import match_boxes
+from cpm_tpu.utils.sampler import sample_k_from_mask
+
+
+def _masked_bce_mean(logits, targets, roi_mask):
+    """BCE-with-logits, mean over valid rois' elements
+    (loss.py:263: F.binary_cross_entropy_with_logits default mean over the
+    variable-size kept roi set)."""
+    bce = (
+        jnp.maximum(logits, 0)
+        - logits * targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    m = roi_mask.reshape(roi_mask.shape + (1,) * (bce.ndim - 1)).astype(
+        bce.dtype
+    )
+    per_roi_elems = 1
+    for d in bce.shape[1:]:
+        per_roi_elems *= d
+    denom = jnp.maximum(jnp.sum(m) * per_roi_elems, 1.0)
+    return jnp.sum(bce * m) / denom
+
+
+def _gather_rois(boxes, mask, idx):
+    g = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    m = jnp.take_along_axis(mask, idx, axis=1)
+    return g, m
+
+
+class GridCascadeRCNNHead(nn.Module):
+    """CPM head. With stage_num=1 / no ISM/RSM this is plain Grid R-CNN."""
+
+    cfg: Any
+
+    def setup(self):
+        c = self.cfg
+        g = c.GRID_RCNN
+        self.cascade_on = bool(g.CASCADE_MAPPING_ON)
+        opt = g.CASCADE_MAPPING_OPTION
+        self.stage_num = opt.STAGE_NUM if self.cascade_on else 1
+        self.test_stage = opt.TEST_STAGE if self.cascade_on else 1
+        self.stage_weights = (
+            tuple(opt.STAGE_WEIGHTS) if self.cascade_on else (1.0,)
+        )
+        self.mapping_ratios = (
+            tuple(opt.STAGE_MAPPING_RATIO) if self.cascade_on else (1.0,)
+        )
+        self.grid_nums = (
+            tuple(opt.GRID_NUM) if self.cascade_on else (g.GRID_POINTS,)
+        )
+        self.fg_thresholds = (
+            tuple(opt.FG_IOU_THRESHOLD)
+            if self.cascade_on
+            else (g.FG_IOU_THRESHOLD,)
+        )
+        self.bg_thresholds = (
+            tuple(opt.BG_IOU_THRESHOLD)
+            if self.cascade_on
+            else (g.BG_IOU_THRESHOLD,)
+        )
+
+        scales = tuple(
+            0.5 ** (c.FPN.ROI_MIN_LEVEL + i)
+            for i in range(c.FPN.ROI_MAX_LEVEL - c.FPN.ROI_MIN_LEVEL + 1)
+        )
+        self.cls_head = ClsHead(
+            resolution=tuple(g.ROI_XFORM_RESOLUTION_CLS),
+            scales=scales,
+            sampling_ratio=g.ROI_XFORM_SAMPLING_RATIO,
+            mlp_dim=g.MLP_HEAD.MLP_DIM,
+        )
+        self.cls_output = ClsOutput(num_classes=c.MODEL.NUM_CLASSES)
+
+        heads, outs = [], []
+        for s in range(self.stage_num):
+            heads.append(
+                GridHead(
+                    grid_points=self.grid_nums[s],
+                    roi_feat_size=g.ROI_FEAT_SIZE,
+                    num_convs=g.GRID_HEAD.NUM_CONVS,
+                    point_feat_channels=g.GRID_HEAD.POINT_FEAT_CHANNELS,
+                    scales=scales,
+                    sampling_ratio=g.ROI_XFORM_SAMPLING_RATIO,
+                    fused_on=g.FUSED_ON,
+                    finest_level_only=g.FINEST_LEVEL_ROI,
+                    name=f"grid_head_{s}",
+                )
+            )
+            outs.append(
+                GridOutput(
+                    grid_points=self.grid_nums[s],
+                    point_feat_channels=g.GRID_HEAD.POINT_FEAT_CHANNELS,
+                    iou_helper=(
+                        g.IOU_HELPER and s == self.stage_num - 1
+                    ),
+                    se_on=g.SE_ON,
+                    fused_on=g.FUSED_ON,
+                    name=f"grid_output_{s}",
+                )
+            )
+        self.grid_heads = heads
+        self.grid_outputs = outs
+
+        if g.RESCORE_ON:
+            self.rescore_head = ClsHead(
+                resolution=tuple(g.ROI_XFORM_RESOLUTION_CLS),
+                scales=scales,
+                sampling_ratio=g.ROI_XFORM_SAMPLING_RATIO,
+                mlp_dim=g.MLP_HEAD.MLP_DIM,
+                name="rescore_head",
+            )
+            self.rescore_output = ClsOutput(
+                num_classes=c.MODEL.NUM_CLASSES, name="rescore_output"
+            )
+
+        self.box_coder = BoxCoder(weights=(10.0, 10.0, 5.0, 5.0))
+
+    # ---------------- train ----------------
+
+    def _train_cls(self, features, proposals, prop_mask, gt):
+        c = self.cfg
+        g = c.GRID_RCNN
+        key = self.make_rng("sample")
+        sampled = subsample_rois(
+            proposals,
+            prop_mask,
+            gt["boxes"],
+            gt["labels"],
+            gt["mask"],
+            key,
+            batch_size_per_image=g.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=g.POSITIVE_FRACTION,
+            fg_iou_threshold=g.FG_IOU_THRESHOLD,
+            bg_iou_threshold=g.BG_IOU_THRESHOLD,
+            box_coder=self.box_coder,
+        )
+        rois = rois_with_batch_index(sampled.boxes)
+        x = self.cls_head(features, rois, sampled.mask.reshape(-1))
+        logits = self.cls_output(x)
+        m = sampled.mask.reshape(-1).astype(logits.dtype)
+        labels = jnp.maximum(sampled.labels.reshape(-1), 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        loss_cls = jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return sampled, dict(loss_classifier=loss_cls)
+
+    def _stage_match(self, stage, boxes, mask, gt):
+        """Match rois to gt at the stage's thresholds (loss.py:139-161)."""
+        quality = box_iou(gt["boxes"], boxes)  # [B, M, S]
+        matches = match_boxes(
+            quality,
+            gt["mask"],
+            self.fg_thresholds[stage],
+            self.bg_thresholds[stage],
+            allow_low_quality_matches=False,
+        )
+        clamped = jnp.maximum(matches, 0)
+        matched_gt = jnp.take_along_axis(
+            gt["boxes"], clamped[..., None], axis=1
+        )
+        matched_iou = jnp.max(
+            jnp.where(gt["mask"][:, :, None], quality, 0.0), axis=1
+        )
+        pos = (matches >= 0) & mask
+        return matched_gt, matched_iou, pos
+
+    def _train_cascade(self, features, sampled, gt, image_sizes):
+        c = self.cfg
+        g = c.GRID_RCNN
+        losses = {}
+        key = self.make_rng("sample")
+
+        # stage-0 input: <=MAX_SAMPLE_NUM_GRID positives of the cls sample
+        # (keep_only_positive_boxes, rcnn/utils/misc.py:54-76)
+        boxes, mask = sampled.boxes, sampled.mask
+        if g.RANDOM_JITTER:
+            boxes = random_jitter_boxes(
+                boxes, jax.random.fold_in(key, 99), image_sizes[:, None, :]
+            )
+        pos_mask = sampled.is_pos
+        capped = sample_k_from_mask(
+            pos_mask, g.MAX_SAMPLE_NUM_GRID, jax.random.fold_in(key, 0)
+        )
+        idx, mask = compact_by_mask(capped, g.MAX_SAMPLE_NUM_GRID)
+        boxes, _ = _gather_rois(boxes, mask, idx)
+
+        for stage in range(self.stage_num):
+            matched_gt, matched_iou, stage_mask = self._stage_match(
+                stage, boxes, mask, gt
+            )
+            if stage == 0:
+                # stage 0 keeps the full (positive-capped) set
+                stage_mask = mask
+            if g.BETTER_ROI:
+                stage_mask = stage_mask & better_roi_mask(
+                    boxes, matched_gt, g.BETTER_ROI_RATIO
+                )
+
+            B, S = boxes.shape[:2]
+            targets = grid_targets(
+                boxes.reshape(B * S, 4),
+                matched_gt.reshape(B * S, 4),
+                stage_mask.reshape(B * S),
+                mapping_ratio=self.mapping_ratios[stage],
+                grid_points=self.grid_nums[stage],
+                roi_feat_size=g.ROI_FEAT_SIZE,
+                pos_radius=g.POS_RADIUS,
+            )
+
+            rois = rois_with_batch_index(boxes)
+            x, x_so = self.grid_heads[stage](
+                features, rois, stage_mask.reshape(-1)
+            )
+            grid_logits, iou_logits = self.grid_outputs[stage](
+                x, x_so, train=True
+            )
+
+            flat_mask = stage_mask.reshape(-1)
+            loss_grid = _masked_bce_mean(
+                grid_logits["unfused"], targets, flat_mask
+            )
+            if g.FUSED_ON:
+                loss_grid = loss_grid + _masked_bce_mean(
+                    grid_logits["fused"], targets, flat_mask
+                )
+            losses[f"loss_grid_{stage + 1}"] = (
+                g.LOSS_WEIGHT * self.stage_weights[stage] * loss_grid
+            )
+
+            if g.IOU_HELPER and stage == self.stage_num - 1:
+                iou_t = jnp.stack(
+                    [1.0 - matched_iou, matched_iou], axis=-1
+                ).reshape(-1, 2)
+                losses[f"loss_iou_{stage + 1}"] = g.IOU_LOSS_WEIGHT * l2_loss(
+                    iou_logits, iou_t, mask=flat_mask[:, None]
+                )
+
+            if stage < self.stage_num - 1:
+                # refine proposals from heatmaps under stop-grad, drop
+                # gt-identical rows, re-add gt (inference.py:145-166)
+                hm = (
+                    grid_logits["fused"]
+                    if g.FUSED_ON
+                    else grid_logits["unfused"]
+                )
+                hm = jax.lax.stop_gradient(hm)
+                sizes_per_roi = jnp.repeat(image_sizes, S, axis=0)
+                refined = grid_decode(
+                    boxes.reshape(B * S, 4),
+                    hm,
+                    sizes_per_roi,
+                    mapping_ratio=self.mapping_ratios[stage],
+                    grid_points=self.grid_nums[stage],
+                    roi_feat_size=g.ROI_FEAT_SIZE,
+                ).reshape(B, S, 4)
+                if self.cascade_on and c.GRID_RCNN.CASCADE_MAPPING_OPTION.RESIZE_ROI:
+                    refined = resize_large_rois(refined)
+
+                # _filter_boxes: drop rows equal to any gt box
+                eq_gt = jnp.any(
+                    jnp.all(
+                        jnp.abs(
+                            boxes[:, :, None, :] - gt["boxes"][:, None, :, :]
+                        )
+                        < 1e-5,
+                        axis=-1,
+                    )
+                    & gt["mask"][:, None, :],
+                    axis=-1,
+                )
+                keep = stage_mask & ~eq_gt
+                boxes = jnp.concatenate([refined, gt["boxes"]], axis=1)
+                mask = jnp.concatenate([keep, gt["mask"]], axis=1)
+
+        return boxes, mask, losses
+
+    def _train_rescore(self, features, cls_sampled, grid_boxes, grid_mask, gt):
+        c = self.cfg
+        g = c.GRID_RCNN
+        # negatives of the cls sample + grid-refined boxes
+        # (get_full_sample_boxes, grid_cascade_rcnn.py:231-245)
+        neg_mask = cls_sampled.mask & (cls_sampled.labels == 0)
+        union_boxes = jnp.concatenate(
+            [cls_sampled.boxes, grid_boxes], axis=1
+        )
+        union_mask = jnp.concatenate([neg_mask, grid_mask], axis=1)
+        key = self.make_rng("sample")
+        sampled = subsample_rois(
+            union_boxes,
+            union_mask,
+            gt["boxes"],
+            gt["labels"],
+            gt["mask"],
+            key,
+            batch_size_per_image=g.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=g.POSITIVE_FRACTION,
+            fg_iou_threshold=g.FG_IOU_THRESHOLD,
+            bg_iou_threshold=g.BG_IOU_THRESHOLD,
+            box_coder=self.box_coder,
+        )
+        rois = rois_with_batch_index(sampled.boxes)
+        x = self.rescore_head(features, rois, sampled.mask.reshape(-1))
+        logits = self.rescore_output(x)
+        m = sampled.mask.reshape(-1).astype(logits.dtype)
+        labels = jnp.maximum(sampled.labels.reshape(-1), 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        loss = jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return dict(loss_rescore=g.RESCORE_LOSS_WEIGHT * loss)
+
+    # ---------------- test ----------------
+
+    def _test_cls(self, features, proposals, prop_mask, image_sizes):
+        c = self.cfg
+        g = c.GRID_RCNN
+        B, K = proposals.shape[:2]
+        rois = rois_with_batch_index(proposals)
+        x = self.cls_head(features, rois, prop_mask.reshape(-1))
+        logits = self.cls_output(x)
+        probs = jax.nn.softmax(logits, axis=-1).reshape(
+            B, K, c.MODEL.NUM_CLASSES
+        )
+        # CLSPostProcessor: same box for every class, ml_nms 0.3 at 0.03
+        boxes_pc = jnp.broadcast_to(
+            proposals[:, :, None, :],
+            (B, K, c.MODEL.NUM_CLASSES, 4),
+        )
+        return filter_detections(
+            boxes_pc,
+            probs,
+            prop_mask,
+            score_thresh=g.SCORE_THRESH,
+            nms_thresh=g.NMS,
+            detections_per_img=g.TEST_MAX_DETECTIONS,
+        )
+
+    def _test_cascade(self, features, dets: Detections, image_sizes):
+        c = self.cfg
+        g = c.GRID_RCNN
+        boxes, scores, mask = dets.boxes, dets.scores, dets.mask
+        B, S = boxes.shape[:2]
+        sizes_per_roi = jnp.repeat(image_sizes, S, axis=0)
+        for stage in range(self.test_stage):
+            rois = rois_with_batch_index(boxes)
+            x, x_so = self.grid_heads[stage](features, rois, mask.reshape(-1))
+            grid_logits, iou_logits = self.grid_outputs[stage](
+                x, x_so, train=False
+            )
+            hm = (
+                grid_logits["fused"] if g.FUSED_ON else grid_logits["unfused"]
+            )
+            if (
+                g.IOU_HELPER
+                and stage == self.stage_num - 1
+                and iou_logits is not None
+            ):
+                iou_score = iou_logits[:, 1].reshape(B, S)
+                if g.IOU_HELPER_MERGE:
+                    scores = scores * iou_score
+                else:
+                    scores = iou_score
+                scores = jnp.where(mask, scores, 0.0)
+            boxes = grid_decode(
+                boxes.reshape(B * S, 4),
+                hm,
+                sizes_per_roi,
+                mapping_ratio=self.mapping_ratios[stage],
+                grid_points=self.grid_nums[stage],
+                roi_feat_size=g.ROI_FEAT_SIZE,
+            ).reshape(B, S, 4)
+        return Detections(
+            boxes=boxes, scores=scores, labels=dets.labels, mask=mask
+        )
+
+    def _test_rescore(self, features, dets: Detections):
+        c = self.cfg
+        B, S = dets.boxes.shape[:2]
+        rois = rois_with_batch_index(dets.boxes)
+        x = self.rescore_head(features, rois, dets.mask.reshape(-1))
+        logits = self.rescore_output(x)
+        probs = jax.nn.softmax(logits, axis=-1).reshape(
+            B, S, c.MODEL.NUM_CLASSES
+        )
+        rescores = jnp.take_along_axis(
+            probs, dets.labels[..., None], axis=-1
+        )[..., 0]
+        # score^0.8 * rescore^0.2 (inference.py:62-76)
+        fused = jnp.clip(dets.scores, 0.0) ** 0.8 * jnp.clip(
+            rescores, 1e-12
+        ) ** 0.2
+        fused = jnp.where(dets.mask, fused, 0.0)
+        return dets._replace(scores=fused)
+
+    # ---------------- forward ----------------
+
+    def __call__(
+        self,
+        features,
+        proposals,
+        prop_mask,
+        image_sizes,
+        gt: Optional[dict] = None,
+        train: bool = False,
+    ):
+        c = self.cfg
+        g = c.GRID_RCNN
+        if train:
+            losses = {}
+            sampled, loss_cls = self._train_cls(
+                features, proposals, prop_mask, gt
+            )
+            grid_boxes, grid_mask, loss_grid = self._train_cascade(
+                features, sampled, gt, image_sizes
+            )
+            losses.update(loss_cls)
+            losses.update(loss_grid)
+            if g.RESCORE_ON:
+                losses.update(
+                    self._train_rescore(
+                        features, sampled, grid_boxes, grid_mask, gt
+                    )
+                )
+            return losses
+
+        dets = self._test_cls(features, proposals, prop_mask, image_sizes)
+        dets = self._test_cascade(features, dets, image_sizes)
+        if g.RESCORE_ON:
+            dets = self._test_rescore(features, dets)
+        return dets
+
+
+class GridRCNNHead(GridCascadeRCNNHead):
+    """Single-stage Grid R-CNN (grid_rcnn/grid_rcnn.py) — the same
+    machinery with one stage, mapping ratio 1, GRID_POINTS points."""
+    pass

@@ -1,0 +1,271 @@
+"""Grid head Flax modules: conv tower, neighbor fusion, grouped deconv output.
+
+Reference: /root/reference/pet/rcnn/modeling/grid_rcnn/heads/grid_heads.py
+(roi_grid_head:14-161) and grid_rcnn/outputs.py (Grid_output:12-105,
+Cls_output). Key structure:
+  * 14x14 RoIAlign -> 8 convs of 64*P channels (first stride 2 -> 7x7),
+    each followed by GroupNorm(4P) + ReLU (grid_heads.py:39-57);
+  * first/second-order neighbor fusion: per grid point, 5x5 depthwise +
+    1x1 transitions from 4-neighbors (grid_heads.py:101-119, 138-154);
+  * output: two group deconvs (k4 s2, groups=P) 7x7 -> 14x14 -> 28x28
+    heatmaps with GroupNorm(P)+ReLU between (outputs.py:24-37), final bias
+    init -log(0.99/0.01) (grid_heads.py:129);
+  * optional ISM IoU branch: 2 FC(1024) -> 2 logits on the 7x7 grid
+    features (outputs.py:38-45).
+
+TPU notes: grouped transposed conv is expressed as
+lax.conv_general_dilated with lhs_dilation=2 and feature_group_count=P
+(XLA has no native grouped conv_transpose). NHWC throughout; per-point
+channel blocks are contiguous [..., P*c] slices.
+"""
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from cpm_tpu.ops.pooler import Pooler
+
+
+def get_neighbor_points(grid_size: int) -> List[Tuple[int, ...]]:
+    """4-neighborhood in the reference's column-major point order
+    (grid_heads.py:89-103: index = i * grid_size + j, i = column)."""
+    pts = []
+    for i in range(grid_size):
+        for j in range(grid_size):
+            nb = []
+            if i > 0:
+                nb.append((i - 1) * grid_size + j)
+            if j > 0:
+                nb.append(i * grid_size + j - 1)
+            if j < grid_size - 1:
+                nb.append(i * grid_size + j + 1)
+            if i < grid_size - 1:
+                nb.append((i + 1) * grid_size + j)
+            pts.append(tuple(nb))
+    return pts
+
+
+def grouped_deconv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    groups: int,
+) -> jnp.ndarray:
+    """Transposed conv k4 s2 p1 with channel groups: [B,H,W,Cin] -> [B,2H,2W,Cout].
+
+    Implemented as conv_general_dilated(lhs_dilation=2, padding=2) with a
+    spatially-flipped kernel — the exact adjoint of a k4/s2/p1 conv.
+    kernel: [4, 4, Cin//groups, Cout].
+    """
+    flipped = kernel[::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        x,
+        flipped,
+        window_strides=(1, 1),
+        padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class TransitionConv(nn.Module):
+    """5x5 depthwise + 1x1 pointwise transition (grid_heads.py:108-119)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.channels,
+            (5, 5),
+            padding=2,
+            feature_group_count=self.channels,
+            name="dw",
+        )(x)
+        return nn.Conv(self.channels, (1, 1), name="pw")(x)
+
+
+class GridHead(nn.Module):
+    """Pooled 14x14 features -> fused per-point feature stacks."""
+
+    grid_points: int = 9
+    roi_feat_size: int = 14
+    num_convs: int = 8
+    point_feat_channels: int = 64
+    scales: Sequence[float] = (0.25, 0.125, 0.0625, 0.03125)
+    sampling_ratio: int = 2
+    fused_on: bool = True
+    finest_level_only: bool = False
+
+    @nn.compact
+    def __call__(self, features, rois, roi_mask=None):
+        P = self.grid_points
+        c = self.point_feat_channels
+        cout = c * P
+        scales = (self.scales[0],) if self.finest_level_only else tuple(self.scales)
+        pooler = Pooler(
+            output_size=(self.roi_feat_size, self.roi_feat_size),
+            scales=scales,
+            sampling_ratio=self.sampling_ratio,
+        )
+        x = pooler(
+            features[:1] if self.finest_level_only else features,
+            rois,
+            roi_mask,
+        )  # [R, 14, 14, C]
+
+        for i in range(self.num_convs):
+            stride = 2 if i == 0 else 1
+            x = nn.Conv(
+                cout, (3, 3), strides=(stride, stride), padding=1,
+                name=f"conv{i}",
+            )(x)
+            x = nn.GroupNorm(
+                num_groups=4 * P, epsilon=1e-5, name=f"gn{i}"
+            )(x)
+            x = nn.relu(x)
+        # x: [R, 7, 7, P*c], point p occupies channels [p*c, (p+1)*c)
+
+        if not self.fused_on:
+            return x, None
+
+        grid_size = int(math.isqrt(P))
+        neighbors = get_neighbor_points(grid_size)
+
+        def point(feat, p):
+            return feat[..., p * c : (p + 1) * c]
+
+        x_fo = []
+        for i, pts in enumerate(neighbors):
+            acc = point(x, i)
+            for j, p_idx in enumerate(pts):
+                acc = acc + TransitionConv(c, name=f"forder_{i}_{j}")(
+                    point(x, p_idx)
+                )
+            x_fo.append(acc)
+
+        x_so = []
+        for i, pts in enumerate(neighbors):
+            acc = point(x, i)
+            for j, p_idx in enumerate(pts):
+                acc = acc + TransitionConv(c, name=f"sorder_{i}_{j}")(
+                    x_fo[p_idx]
+                )
+            x_so.append(acc)
+        return x, jnp.concatenate(x_so, axis=-1)
+
+
+class GridOutput(nn.Module):
+    """Group deconvs to half-size heatmaps + optional ISM IoU branch."""
+
+    grid_points: int = 9
+    point_feat_channels: int = 64
+    iou_helper: bool = False
+    se_on: bool = False
+    fused_on: bool = True
+
+    @nn.compact
+    def __call__(self, x, x_so, train: bool = False):
+        P = self.grid_points
+        c = self.point_feat_channels
+        cout = c * P
+
+        deconv1_k = self.param(
+            "deconv1_kernel",
+            nn.initializers.normal(0.001),
+            (4, 4, c, cout),  # groups=P: in c per group, out cout total
+        )
+        deconv1_b = self.param(
+            "deconv1_bias", nn.initializers.zeros, (cout,)
+        )
+        deconv2_k = self.param(
+            "deconv2_kernel", nn.initializers.normal(0.001), (4, 4, c, P)
+        )
+        # bias init -log(0.99/0.01) (grid_heads.py:129)
+        deconv2_b = self.param(
+            "deconv2_bias",
+            lambda key, shape: jnp.full(
+                shape, -float(np.log(0.99 / 0.01))
+            ),
+            (P,),
+        )
+        norm1 = nn.GroupNorm(num_groups=P, name="norm1")
+
+        def decode_tower(h):
+            h = grouped_deconv(h, deconv1_k, deconv1_b, P)
+            h = nn.relu(norm1(h))
+            if self.se_on:
+                from cpm_tpu.modeling.context import SeBlock
+
+                h = SeBlock(cout, max(1, int(cout * 0.0625)), name="se")(h)
+            return grouped_deconv(h, deconv2_k, deconv2_b, P)
+
+        heatmap_fused = None
+        if self.fused_on and x_so is not None:
+            heatmap_fused = decode_tower(x_so)
+        if train or not self.fused_on:
+            heatmap_unfused = decode_tower(x)
+        else:
+            heatmap_unfused = heatmap_fused
+
+        iou_logits = None
+        if self.iou_helper:
+            h = x.reshape(x.shape[0], -1)
+            h = nn.relu(nn.Dense(1024, name="iou_fc1")(h))
+            h = nn.relu(nn.Dense(1024, name="iou_fc2")(h))
+            iou_logits = nn.Dense(
+                2, kernel_init=nn.initializers.normal(0.01), name="iou_pred"
+            )(h)
+
+        # NHWC heatmaps -> [R, P, half, half] for decode/targets
+        def to_pchw(hm):
+            return None if hm is None else jnp.transpose(hm, (0, 3, 1, 2))
+
+        return (
+            dict(fused=to_pchw(heatmap_fused), unfused=to_pchw(heatmap_unfused)),
+            iou_logits,
+        )
+
+
+class ClsHead(nn.Module):
+    """7x7 RoIAlign -> 2 FC (cls_heads.py:12-48)."""
+
+    resolution: Sequence[int] = (7, 7)
+    scales: Sequence[float] = (0.25, 0.125, 0.0625, 0.03125)
+    sampling_ratio: int = 2
+    mlp_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, features, rois, roi_mask=None):
+        pooler = Pooler(
+            output_size=tuple(self.resolution),
+            scales=tuple(self.scales),
+            sampling_ratio=self.sampling_ratio,
+        )
+        x = pooler(features, rois, roi_mask)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.mlp_dim, name="fc6")(x))
+        x = nn.relu(nn.Dense(self.mlp_dim, name="fc7")(x))
+        return x
+
+
+class ClsOutput(nn.Module):
+    """Linear classifier (outputs.py Cls_output:88-105)."""
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.normal(0.01),
+            name="cls_score",
+        )(x)

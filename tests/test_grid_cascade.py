@@ -1,0 +1,139 @@
+"""CPM Grid-Cascade R-CNN end-to-end smoke tests (tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpm_tpu.config import get_default_cfg
+from cpm_tpu.modeling.model import build_model
+
+
+def _cpm_cfg(stage_num=2, iou_helper=True, rescore=True, cascade=True):
+    cfg = get_default_cfg()
+    cfg.MODEL.FPN_ON = True
+    cfg.MODEL.FASTER_RCNN = False
+    cfg.MODEL.GRID_ON = True
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.BACKBONE.RESNET.LAYERS = (1, 1, 1, 1)
+    cfg.RPN.ANCHOR_STRIDE = (4, 8, 16, 32, 64)
+    cfg.RPN.PRE_NMS_TOP_N_TRAIN = 64
+    cfg.RPN.POST_NMS_TOP_N_TRAIN = 32
+    cfg.RPN.FPN_POST_NMS_TOP_N_TRAIN = 48
+    cfg.RPN.PRE_NMS_TOP_N_TEST = 32
+    cfg.RPN.POST_NMS_TOP_N_TEST = 16
+    cfg.RPN.FPN_POST_NMS_TOP_N_TEST = 24
+    g = cfg.GRID_RCNN
+    g.CASCADE_MAPPING_ON = cascade
+    g.IOU_HELPER = iou_helper
+    g.IOU_HELPER_MERGE = True
+    g.RESCORE_ON = rescore
+    g.BATCH_SIZE_PER_IMAGE = 32
+    g.MAX_SAMPLE_NUM_GRID = 8
+    g.TEST_MAX_DETECTIONS = 16
+    g.GRID_HEAD.NUM_CONVS = 2
+    g.GRID_HEAD.POINT_FEAT_CHANNELS = 8
+    o = g.CASCADE_MAPPING_OPTION
+    o.STAGE_NUM = stage_num
+    o.TEST_STAGE = stage_num
+    o.STAGE_WEIGHTS = [1.0, 0.5, 0.25][:stage_num]
+    o.STAGE_MAPPING_RATIO = [1.0, 0.5, 0.25][:stage_num]
+    o.FG_IOU_THRESHOLD = [0.5, 0.6, 0.7][:stage_num]
+    o.BG_IOU_THRESHOLD = [0.5, 0.6, 0.7][:stage_num]
+    o.GRID_NUM = [9, 9, 9][:stage_num]
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    image_sizes = jnp.array([[64, 64], [56, 48]])
+    gt = dict(
+        boxes=jnp.array(
+            [
+                [[4, 4, 34, 34], [10, 12, 44, 44], [0, 0, 0, 0]],
+                [[8, 8, 30, 30], [0, 0, 0, 0], [0, 0, 0, 0]],
+            ],
+            jnp.float32,
+        ),
+        labels=jnp.array([[1, 3, 0], [2, 0, 0]], jnp.int32),
+        mask=jnp.array([[True, True, False], [True, False, False]]),
+    )
+    return images, image_sizes, gt
+
+
+def test_cpm_train_losses_and_grads(batch):
+    images, image_sizes, gt = batch
+    cfg = _cpm_cfg()
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        images, image_sizes, gt=gt, train=True,
+    )
+    losses = model.apply(
+        variables, images, image_sizes, gt=gt, train=True,
+        rngs={"sample": jax.random.PRNGKey(2)},
+    )
+    expect = {
+        "loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+        "loss_grid_1", "loss_grid_2", "loss_iou_2", "loss_rescore",
+    }
+    assert set(losses) == expect, set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params}, images, image_sizes, gt=gt, train=True,
+            rngs={"sample": jax.random.PRNGKey(2)},
+        )
+        return sum(out.values())
+
+    val, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # grid head params must receive gradient
+    gh = grads["roi_head"]["grid_head_0"]
+    total = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(gh)
+    )
+    assert total > 0
+
+
+def test_cpm_eval_detections(batch):
+    images, image_sizes, gt = batch
+    cfg = _cpm_cfg()
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        images, image_sizes, gt=gt, train=True,
+    )
+    dets = model.apply(variables, images, image_sizes, train=False)
+    assert dets.boxes.shape == (2, 16, 4)
+    assert dets.scores.shape == (2, 16)
+    # all valid boxes inside their image
+    for b in range(2):
+        bb = np.asarray(dets.boxes[b][np.asarray(dets.mask[b])])
+        if len(bb):
+            assert (bb[:, 2] <= float(image_sizes[b, 1])).all()
+            assert (bb[:, 3] <= float(image_sizes[b, 0])).all()
+
+
+def test_single_stage_grid_rcnn(batch):
+    images, image_sizes, gt = batch
+    cfg = _cpm_cfg(cascade=False, iou_helper=False, rescore=False)
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        images, image_sizes, gt=gt, train=True,
+    )
+    losses = model.apply(
+        variables, images, image_sizes, gt=gt, train=True,
+        rngs={"sample": jax.random.PRNGKey(2)},
+    )
+    assert "loss_grid_1" in losses and "loss_classifier" in losses
+    assert "loss_rescore" not in losses
+    dets = model.apply(variables, images, image_sizes, train=False)
+    assert dets.boxes.shape == (2, 16, 4)
