@@ -1,0 +1,225 @@
+"""Iteration-based, host-sharded train/eval loaders with fixed-shape batches.
+
+Replaces the reference's sampler stack (SURVEY §2.6):
+  * DistributedSampler (epoch-seeded shuffle + pad-divide + rank slice,
+    pet/utils/data/samplers/distributed.py:7-63) -> per-host index slices;
+  * GroupedBatchSampler (aspect-ratio buckets, grouped_batch_sampler.py)
+    -> two orientation groups, batches drawn within a group;
+  * IterationBasedBatchSampler (infinite re-iteration to MAX_ITER) ->
+    epoch cycling inside the iterator;
+  * BatchCollator + to_image_list -> fixed bucket padding into one NHWC
+    array per batch (XLA compiles once per bucket shape).
+
+TPU-first: every batch has one of a small set of static shapes — a
+landscape bucket (short_max x long_max) and its portrait transpose —
+and ground truth padded to TRAIN.MAX_GT_PER_IMAGE with masks.
+"""
+
+import threading
+import queue as queue_mod
+from typing import Iterator, Optional
+
+import numpy as np
+
+from cpm_tpu.data.coco import COCODataset
+from cpm_tpu.data.transforms import TestTransform, TrainTransform
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compute_buckets(scales, max_size, divisibility: int):
+    """(short, long) padded bucket extents covering every train resize."""
+    short = _round_up(max(scales), divisibility)
+    long = _round_up(max_size, divisibility)
+    return short, long
+
+
+class TrainLoader:
+    """Yields fixed-shape train batches forever (caller stops at MAX_ITER)."""
+
+    def __init__(
+        self,
+        cfg,
+        dataset: COCODataset,
+        batch_size: int,
+        *,
+        rank: int = 0,
+        world_size: int = 1,
+        seed: int = 0,
+        start_iter: int = 0,
+        prefetch: int = 2,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rank = rank
+        self.world_size = world_size
+        self.seed = seed
+        self.start_iter = start_iter
+        self.transform = TrainTransform(cfg)
+        self.max_gt = cfg.TRAIN.MAX_GT_BOXES
+        self.divisibility = cfg.TRAIN.SIZE_DIVISIBILITY
+        short, long = compute_buckets(
+            cfg.TRAIN.SCALES, cfg.TRAIN.MAX_SIZE, self.divisibility
+        )
+        self.buckets = {
+            "landscape": (short, long),
+            "portrait": (long, short),
+        }
+        self.aspect = dataset.aspect_ratios()
+        self.prefetch = prefetch
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        """DistributedSampler semantics: seeded shuffle, pad, rank slice."""
+        g = np.random.RandomState(self.seed + epoch)
+        idx = g.permutation(len(self.dataset))
+        total = (
+            (len(idx) + self.world_size - 1) // self.world_size
+        ) * self.world_size
+        idx = np.concatenate([idx, idx[: total - len(idx)]])
+        return idx[self.rank :: self.world_size]
+
+    def _group_batches(self, indices: np.ndarray, epoch: int):
+        """Aspect-ratio-grouped batches (GroupedBatchSampler)."""
+        groups = {0: [], 1: []}
+        for i in indices:
+            groups[int(self.aspect[i] >= 1)].append(i)
+        batches = []
+        for g in groups.values():
+            for s in range(0, len(g) - self.batch_size + 1, self.batch_size):
+                batches.append(g[s : s + self.batch_size])
+        rng = np.random.RandomState(self.seed * 7919 + epoch)
+        rng.shuffle(batches)
+        return batches
+
+    def _make_batch(self, batch_indices, rng: np.random.RandomState):
+        images, sizes, all_boxes, all_labels = [], [], [], []
+        landscape_votes = 0
+        for i in batch_indices:
+            img = self.dataset.load_image(i)
+            boxes, labels = self.dataset.load_annotations(i)
+            img, boxes, size = self.transform(img, boxes, rng)
+            images.append(img)
+            sizes.append(size)
+            all_boxes.append(boxes)
+            all_labels.append(labels)
+            landscape_votes += int(img.shape[1] >= img.shape[0])
+        bucket = (
+            self.buckets["landscape"]
+            if landscape_votes * 2 >= len(images)
+            else self.buckets["portrait"]
+        )
+        bh, bw = bucket
+        B = len(images)
+        out_images = np.zeros((B, bh, bw, 3), np.float32)
+        out_sizes = np.zeros((B, 2), np.int32)
+        gt_boxes = np.zeros((B, self.max_gt, 4), np.float32)
+        gt_labels = np.zeros((B, self.max_gt), np.int32)
+        gt_mask = np.zeros((B, self.max_gt), bool)
+        for b in range(B):
+            h, w = images[b].shape[:2]
+            h2, w2 = min(h, bh), min(w, bw)
+            out_images[b, :h2, :w2] = images[b][:h2, :w2]
+            out_sizes[b] = (h2, w2)
+            k = min(len(all_boxes[b]), self.max_gt)
+            gt_boxes[b, :k] = all_boxes[b][:k]
+            gt_labels[b, :k] = all_labels[b][:k]
+            gt_mask[b, :k] = True
+        return dict(
+            images=out_images,
+            image_sizes=out_sizes,
+            gt_boxes=gt_boxes,
+            gt_labels=gt_labels,
+            gt_mask=gt_mask,
+        )
+
+    def _raw_iter(self) -> Iterator[dict]:
+        it = self.start_iter
+        epoch = 0
+        while True:
+            indices = self._epoch_indices(epoch)
+            batches = self._group_batches(indices, epoch)
+            for batch_indices in batches:
+                rng = np.random.RandomState(
+                    (self.seed * 1_000_003 + it * 97 + self.rank) % (2**31)
+                )
+                yield self._make_batch(batch_indices, rng)
+                it += 1
+            epoch += 1
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from self._raw_iter()
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for item in self._raw_iter():
+                    q.put(item)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
+
+class TestLoader:
+    """Single-image eval batches (TEST.IMS_PER_GPU is 1 in the reference)."""
+
+    def __init__(
+        self,
+        cfg,
+        dataset: COCODataset,
+        *,
+        start: int = 0,
+        end: Optional[int] = None,
+        scale: Optional[int] = None,
+        max_size: Optional[int] = None,
+        hflip: bool = False,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.start = start
+        self.end = len(dataset) if end is None else end
+        self.transform = TestTransform(cfg, scale=scale, max_size=max_size)
+        self.divisibility = cfg.TEST.SIZE_DIVISIBILITY
+        scale_v = scale if scale is not None else cfg.TEST.SCALE
+        max_v = max_size if max_size is not None else cfg.TEST.MAX_SIZE
+        short = _round_up(scale_v, self.divisibility)
+        long = _round_up(max_v, self.divisibility)
+        self.buckets = {"landscape": (short, long), "portrait": (long, short)}
+        self.hflip = hflip
+
+    def __len__(self):
+        return self.end - self.start
+
+    def __iter__(self):
+        for i in range(self.start, self.end):
+            img = self.dataset.load_image(i)
+            if self.hflip:
+                img = np.ascontiguousarray(img[:, ::-1])
+            orig_h, orig_w = img.shape[:2]
+            norm, (nh, nw), scale_hw = self.transform(img)
+            bucket = (
+                self.buckets["landscape"] if nw >= nh else self.buckets["portrait"]
+            )
+            bh, bw = bucket
+            out = np.zeros((1, bh, bw, 3), np.float32)
+            out[0, :nh, :nw] = norm[:bh, :bw]
+            yield dict(
+                index=i,
+                image_id=self.dataset.id_to_img_map[i],
+                images=out,
+                image_sizes=np.array([[nh, nw]], np.int32),
+                orig_size=(orig_h, orig_w),
+                scale_hw=scale_hw,
+            )

@@ -1,0 +1,109 @@
+"""Training engine: TrainState + jitted data-parallel train step.
+
+Replaces the reference train loop (tools/rcnn/train_net.py:56-89 +
+TrainingLogger.update_stats assembling total_loss as the sum of the loss
+dict, pet/utils/logger.py:47-56). The whole optimizer step — forward,
+backward, SGD update, LR schedule — is one jitted program over the data
+mesh; gradients all-reduce over ICI inside the compiled step (no DDP).
+"""
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cpm_tpu.modeling.model import build_model
+from cpm_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from cpm_tpu.solver import build_optimizer, make_lr_fn
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+def batch_gt(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return dict(
+        boxes=batch["gt_boxes"],
+        labels=batch["gt_labels"],
+        mask=batch["gt_mask"],
+    )
+
+
+def create_train_state(cfg, rng, sample_batch):
+    """Initialize model params + optimizer state from one example batch."""
+    model = build_model(cfg)
+    p_rng, s_rng, loop_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": p_rng, "sample": s_rng},
+        sample_batch["images"],
+        sample_batch["image_sizes"],
+        gt=batch_gt(sample_batch),
+        train=True,
+    )
+    params = variables["params"]
+    lr_fn = make_lr_fn(cfg.SOLVER)
+    tx = build_optimizer(cfg, params, lr_fn)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=loop_rng,
+    )
+    return model, tx, state
+
+
+def make_train_step(cfg, model, tx) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics)."""
+    lr_fn = make_lr_fn(cfg.SOLVER)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params},
+                batch["images"],
+                batch["image_sizes"],
+                gt=batch_gt(batch),
+                train=True,
+                rngs={"sample": step_rng},
+            )
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["lr"] = lr_fn(state.step)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh):
+    """Jit with params replicated and batch sharded over the data axis."""
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

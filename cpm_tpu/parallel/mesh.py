@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers: TPU-native data parallelism.
+
+Replaces the reference's NCCL DistributedDataParallel stack (SURVEY §2.13:
+torch.distributed.launch + DDP gradient allreduce + DistributedSampler).
+Here parallelism is a 1-D jax.sharding.Mesh over the 'data' axis: the
+train step is jitted with the batch sharded on 'data' and params
+replicated — XLA inserts the gradient all-reduce over ICI automatically
+(the pjit equivalent of DDP, with the collective fused into the backward).
+
+Multi-host: jax.distributed.initialize() + the same mesh over all devices
+replaces the env:// rendezvous (train_net.py:37-44).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first num_devices devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Device_put each [B, ...] array with its leading dim sharded."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch
+    )
