@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache.
+
+The CPM train/eval programs are large; first-time XLA compiles are
+expensive (minutes on CPU rigs, tens of seconds on TPU). Enabling jax's
+persistent compilation cache makes every subsequent process start
+near-instant for unchanged programs.
+"""
+
+import os
+
+
+def enable_persistent_cache(cache_dir: str = None):
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "CPM_TPU_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags
+    return cache_dir

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Eval CLI.
+
+Same contract as /root/reference/tools/rcnn/test_net.py:
+`python tools/test_net.py --cfg ... [--range s e] [KEY VALUE ...]`.
+The reference's subprocess-per-GPU eval sharding (pet/utils/subprocess.py)
+is unnecessary on a TPU host — the per-image forward is jitted and the
+host feeds images as fast as it can; --range still shards by image index
+for multi-process/multi-host eval, with per-range json shards merged by
+the caller (the same embarrassingly-parallel structure).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="CPM R-CNN TPU evaluation")
+    p.add_argument("--cfg", dest="cfg_file", required=True)
+    p.add_argument("--range", dest="range", nargs=2, type=int, default=None)
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from cpm_tpu.config import (
+        assert_and_infer_cfg,
+        cfg,
+        merge_cfg_from_file,
+        merge_cfg_from_list,
+    )
+    from cpm_tpu.data.coco import build_dataset
+    from cpm_tpu.engine.checkpoint import CheckPointer
+    from cpm_tpu.engine.test import evaluate_results, run_inference_on_dataset
+    from cpm_tpu.engine.train import create_train_state
+    from cpm_tpu.data.synthetic import synthetic_batch
+    from cpm_tpu.modeling.model import build_model
+
+    merge_cfg_from_file(args.cfg_file)
+    if args.opts:
+        merge_cfg_from_list(args.opts)
+    assert_and_infer_cfg(make_immutable=False)
+
+    datasets = build_dataset(cfg, cfg.TEST.DATASETS, is_train=False)
+    dataset = datasets[0]
+
+    # initialize params and restore checkpoint
+    sample = synthetic_batch(
+        batch_size=1, height=64, width=64,
+        num_classes=cfg.MODEL.NUM_CLASSES, seed=0,
+    )
+    model, tx, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample
+    )
+    checkpointer = CheckPointer(cfg.CKPT, auto_resume=True)
+    restored = checkpointer.load(state)
+    if restored is not None:
+        state = restored
+        print(f"loaded checkpoint at iter {int(state.step)}")
+    else:
+        print("WARNING: no checkpoint found; evaluating random init")
+
+    start, end = (args.range if args.range else (0, len(dataset)))
+    t0 = time.time()
+    results = run_inference_on_dataset(
+        cfg, model, state.params, dataset, start=start, end=end
+    )
+    n = end - start
+    dt = time.time() - t0
+    print(f"inference: {n} images in {dt:.1f}s ({n / max(dt, 1e-9):.2f} img/s)")
+
+    out_dir = os.path.join(cfg.CKPT, "test")
+    os.makedirs(out_dir, exist_ok=True)
+    if args.range:
+        shard = os.path.join(out_dir, f"detection_range_{start}_{end}.json")
+        with open(shard, "w") as f:
+            json.dump(results, f)
+        print(f"wrote {shard}")
+    else:
+        stats = evaluate_results(cfg, dataset, results, output_dir=out_dir)
+        print(json.dumps(stats, indent=2))
+
+
+if __name__ == "__main__":
+    main()
