@@ -175,6 +175,9 @@ def _new_defaults():
     C.BACKBONE.RESNET.STAGE_WITH_CONV = ("normal", "normal", "normal", "normal")
     C.BACKBONE.RESNET.C5_DILATION = 1
     C.BACKBONE.RESNET.FREEZE_AT = 2
+    # TPU-test extension: stage-1 channel count (64 = real ResNet; smaller
+    # values build width-reduced models for CI/dryrun).
+    C.BACKBONE.RESNET.BASE_PLANES = 64
 
     C.BACKBONE.RESNEXT = AttrDict()
     C.BACKBONE.RESNEXT.LAYERS = (3, 4, 6, 3)

@@ -205,11 +205,16 @@ class ResNetBody(nn.Module):
     stage_with_context: Sequence[str] = ("none",) * 4
     ctx_ratio: float = 0.0625
     c5_dilation: int = 1
+    # TPU-test extension: shrink all channel widths by setting base stage
+    # planes < 64 (structure preserved; used by tiny CI/dryrun models).
+    base_planes: int = 64
 
     @property
     def dim_out(self) -> Tuple[int, ...]:
         e = 4 if self.bottleneck else 1
-        return tuple(64 * e * (2**i) for i in range(len(self.layers)))
+        return tuple(
+            self.base_planes * e * (2**i) for i in range(len(self.layers))
+        )
 
     @property
     def spatial_scale(self) -> Tuple[float, ...]:
@@ -221,34 +226,35 @@ class ResNetBody(nn.Module):
     @nn.compact
     def __call__(self, x):
         norm = self.norm
+        bp = self.base_planes
         if not self.use_3x3x3stem:
             h = nn.Conv(
-                64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                bp, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                 name="conv1",
             )(x)
-            h = make_norm(64, norm)(h)
+            h = make_norm(bp, norm)(h)
             h = nn.relu(h)
         else:
             h = nn.Conv(
-                32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                bp // 2, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                 name="conv1",
             )(x)
-            h = make_norm(32, norm)(h)
+            h = make_norm(bp // 2, norm)(h)
             h = nn.relu(h)
             h = nn.Conv(
-                32, (3, 3), padding=1, use_bias=False, name="conv2"
+                bp // 2, (3, 3), padding=1, use_bias=False, name="conv2"
             )(h)
-            h = make_norm(32, norm)(h)
+            h = make_norm(bp // 2, norm)(h)
             h = nn.relu(h)
             h = nn.Conv(
-                64, (3, 3), padding=1, use_bias=False, name="conv3"
+                bp, (3, 3), padding=1, use_bias=False, name="conv3"
             )(h)
-            h = make_norm(64, norm)(h)
+            h = make_norm(bp, norm)(h)
             h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = []
-        planes = (64, 128, 256, 512)
+        planes = (bp, bp * 2, bp * 4, bp * 8)
         strides = (1, 2, 2, 2)
         dilations = [1, 1, 1, 1]
         if len(self.layers) == 4 and self.c5_dilation != 1:
@@ -284,6 +290,7 @@ def build_resnet(cfg):
     r = cfg.BACKBONE.RESNET
     norm = "gn" if r.USE_GN else "affine"
     return ResNetBody(
+        base_planes=getattr(r, "BASE_PLANES", 64),
         layers=tuple(r.LAYERS),
         width=r.WIDTH,
         bottleneck=r.BOTTLENECK,

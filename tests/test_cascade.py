@@ -1,4 +1,4 @@
-"""End-to-end Fast R-CNN model smoke tests (tiny shapes, CPU jax)."""
+"""Cascade R-CNN end-to-end smoke tests (tiny shapes)."""
 
 import jax
 import jax.numpy as jnp
@@ -9,11 +9,12 @@ from cpm_tpu.config import get_default_cfg
 from cpm_tpu.modeling.model import build_model
 
 
-@pytest.fixture(scope="module")
-def tiny_cfg():
+def _cascade_cfg(num_stage=2, iou_helper=False, rescore=False):
     cfg = get_default_cfg()
     cfg.MODEL.FPN_ON = True
     cfg.MODEL.FASTER_RCNN = True
+    cfg.MODEL.CASCADE_ON = True
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
     cfg.MODEL.NUM_CLASSES = 5
     cfg.BACKBONE.RESNET.LAYERS = (1, 1, 1, 1)
     cfg.BACKBONE.RESNET.BASE_PLANES = 8
@@ -23,38 +24,46 @@ def tiny_cfg():
     cfg.RPN.ANCHOR_STRIDE = (4, 8, 16, 32, 64)
     cfg.RPN.PRE_NMS_TOP_N_TRAIN = 64
     cfg.RPN.POST_NMS_TOP_N_TRAIN = 32
-    cfg.RPN.FPN_POST_NMS_TOP_N_TRAIN = 64
+    cfg.RPN.FPN_POST_NMS_TOP_N_TRAIN = 48
     cfg.RPN.PRE_NMS_TOP_N_TEST = 32
     cfg.RPN.POST_NMS_TOP_N_TEST = 16
-    cfg.RPN.FPN_POST_NMS_TOP_N_TEST = 32
+    cfg.RPN.FPN_POST_NMS_TOP_N_TEST = 24
     cfg.FAST_RCNN.ROI_XFORM_RESOLUTION = (7, 7)
     cfg.FAST_RCNN.BATCH_SIZE_PER_IMAGE = 16
     cfg.FAST_RCNN.DETECTIONS_PER_IMG = 10
+    cc = cfg.CASCADE_RCNN
+    cc.NUM_STAGE = num_stage
+    cc.TEST_STAGE = num_stage
+    cc.IOU_HELPER = iou_helper
+    cc.IOU_HELPER_MERGE = iou_helper
+    cc.RESCORE_ON = rescore
+    cfg.GRID_RCNN.BATCH_SIZE_PER_IMAGE = 16
     return cfg
 
 
 @pytest.fixture(scope="module")
-def tiny_batch():
+def batch():
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
     image_sizes = jnp.array([[64, 64], [56, 48]])
     gt = dict(
         boxes=jnp.array(
             [
-                [[4, 4, 30, 30], [10, 12, 40, 44], [0, 0, 0, 0]],
-                [[8, 8, 24, 24], [0, 0, 0, 0], [0, 0, 0, 0]],
+                [[4, 4, 34, 34], [10, 12, 44, 44]],
+                [[8, 8, 30, 30], [0, 0, 0, 0]],
             ],
             jnp.float32,
         ),
-        labels=jnp.array([[1, 3, 0], [2, 0, 0]], jnp.int32),
-        mask=jnp.array([[True, True, False], [True, False, False]]),
+        labels=jnp.array([[1, 3], [2, 0]], jnp.int32),
+        mask=jnp.array([[True, True], [True, False]]),
     )
     return images, image_sizes, gt
 
 
-def test_train_forward_losses(tiny_cfg, tiny_batch):
-    images, image_sizes, gt = tiny_batch
-    model = build_model(tiny_cfg)
+def test_cascade_train_and_eval(batch):
+    images, image_sizes, gt = batch
+    cfg = _cascade_cfg(num_stage=2, iou_helper=True, rescore=True)
+    model = build_model(cfg)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         images, image_sizes, gt=gt, train=True,
@@ -63,49 +72,42 @@ def test_train_forward_losses(tiny_cfg, tiny_batch):
         variables, images, image_sizes, gt=gt, train=True,
         rngs={"sample": jax.random.PRNGKey(2)},
     )
-    assert set(losses) == {
+    expect = {
         "loss_objectness", "loss_rpn_box_reg",
-        "loss_classifier", "loss_box_reg",
+        "s1_cls_loss", "s1_bbox_loss", "s2_cls_loss", "s2_bbox_loss",
+        "loss_iou_2", "loss_rescore",
     }
+    assert set(losses) == expect, set(losses)
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
 
+    dets = model.apply(variables, images, image_sizes, train=False)
+    assert dets.boxes.shape == (2, 10, 4)
+    lv = np.asarray(dets.labels)[np.asarray(dets.mask)]
+    if len(lv):
+        assert ((lv >= 1) & (lv < 5)).all()
 
-def test_train_backward_grads(tiny_cfg, tiny_batch):
-    images, image_sizes, gt = tiny_batch
-    model = build_model(tiny_cfg)
+
+def test_cascade_grads_flow_to_all_stages(batch):
+    images, image_sizes, gt = batch
+    cfg = _cascade_cfg(num_stage=2)
+    model = build_model(cfg)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         images, image_sizes, gt=gt, train=True,
     )
 
     def loss_fn(params):
-        losses = model.apply(
+        out = model.apply(
             {"params": params}, images, image_sizes, gt=gt, train=True,
             rngs={"sample": jax.random.PRNGKey(2)},
         )
-        return sum(losses.values())
+        return sum(out.values())
 
-    val, grads = jax.value_and_grad(loss_fn)(variables["params"])
-    assert np.isfinite(float(val))
-    flat = jax.tree_util.tree_leaves(grads)
-    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
-    # at least some backbone gradient is nonzero
-    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
-    assert total > 0
-
-
-def test_eval_forward_detections(tiny_cfg, tiny_batch):
-    images, image_sizes, gt = tiny_batch
-    model = build_model(tiny_cfg)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        images, image_sizes, gt=gt, train=True,
-    )
-    dets = model.apply(variables, images, image_sizes, train=False)
-    assert dets.boxes.shape == (2, 10, 4)
-    assert dets.scores.shape == (2, 10)
-    assert dets.labels.shape == (2, 10)
-    # labels of valid detections are foreground classes
-    lv = np.asarray(dets.labels)[np.asarray(dets.mask)]
-    assert ((lv >= 1) & (lv < 5)).all()
+    _, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    for s in range(2):
+        g = grads["roi_head"][f"box_head_{s}"]
+        total = sum(
+            float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g)
+        )
+        assert total > 0, f"stage {s} got no gradient"

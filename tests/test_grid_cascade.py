@@ -16,6 +16,10 @@ def _cpm_cfg(stage_num=2, iou_helper=True, rescore=True, cascade=True):
     cfg.MODEL.GRID_ON = True
     cfg.MODEL.NUM_CLASSES = 5
     cfg.BACKBONE.RESNET.LAYERS = (1, 1, 1, 1)
+    cfg.BACKBONE.RESNET.BASE_PLANES = 8
+    cfg.FPN.DIM = 32
+    cfg.FAST_RCNN.MLP_HEAD.MLP_DIM = 64
+    cfg.GRID_RCNN.MLP_HEAD.MLP_DIM = 64
     cfg.RPN.ANCHOR_STRIDE = (4, 8, 16, 32, 64)
     cfg.RPN.PRE_NMS_TOP_N_TRAIN = 64
     cfg.RPN.POST_NMS_TOP_N_TRAIN = 32
