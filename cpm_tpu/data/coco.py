@@ -69,13 +69,14 @@ class COCODataset:
         img_id = self.ids[index]
         return self.coco.imgs[img_id]
 
+    def image_path(self, index: int) -> str:
+        return os.path.join(self.root, self.get_img_info(index)["file_name"])
+
     def load_image(self, index: int) -> np.ndarray:
         """RGB uint8 HWC."""
         from PIL import Image
 
-        info = self.get_img_info(index)
-        path = os.path.join(self.root, info["file_name"])
-        with Image.open(path) as im:
+        with Image.open(self.image_path(index)) as im:
             return np.asarray(im.convert("RGB"))
 
     def load_annotations(self, index: int):

@@ -22,11 +22,32 @@ from typing import Iterator, Optional
 import numpy as np
 
 from cpm_tpu.data.coco import COCODataset
-from cpm_tpu.data.transforms import TestTransform, TrainTransform
+from cpm_tpu.data.transforms import (
+    TestTransform,
+    TrainTransform,
+    get_resize_size,
+)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+_NATIVE = None
+
+
+def _native():
+    """The C++ image-op library, or None (PIL fallback)."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from cpm_tpu import native
+
+            native.get_lib()
+            _NATIVE = native
+        except Exception:
+            _NATIVE = False
+    return _NATIVE or None
 
 
 def compute_buckets(scales, max_size, divisibility: int):
@@ -94,13 +115,47 @@ class TrainLoader:
         rng.shuffle(batches)
         return batches
 
+    def _load_one(self, i: int, rng: np.random.RandomState):
+        """(normalized float image [nh, nw, 3], boxes, (nh, nw)) — native
+        fused path when the C++ library is built, PIL otherwise."""
+        boxes, labels = self.dataset.load_annotations(i)
+        nat = _native()
+        if nat is not None:
+            info = self.dataset.get_img_info(i)
+            oh, ow = info["height"], info["width"]
+            shortest = self.transform.scales[
+                rng.randint(len(self.transform.scales))
+            ]
+            nh, nw = get_resize_size((oh, ow), shortest, self.transform.max_size)
+            try:
+                with open(self.dataset.image_path(i), "rb") as f:
+                    data = f.read()
+                img, _ = nat.decode_resize_normalize(
+                    data, (nh, nw), (nh, nw),
+                    self.transform.pixel_means, self.transform.pixel_stds,
+                    self.transform.to_bgr255,
+                )
+                b = boxes.copy()
+                b[:, 0::2] *= nw / ow
+                b[:, 1::2] *= nh / oh
+                if rng.rand() < self.transform.flip_prob:
+                    img = np.ascontiguousarray(img[:, ::-1])
+                    fb = b.copy()
+                    fb[:, 0] = nw - b[:, 2] - 1
+                    fb[:, 2] = nw - b[:, 0] - 1
+                    b = fb
+                return img, b, labels, (nh, nw)
+            except RuntimeError:
+                pass  # undecodable by native lib -> PIL fallback
+        img = self.dataset.load_image(i)
+        img, boxes, size = self.transform(img, boxes, rng)
+        return img, boxes, labels, size
+
     def _make_batch(self, batch_indices, rng: np.random.RandomState):
         images, sizes, all_boxes, all_labels = [], [], [], []
         landscape_votes = 0
         for i in batch_indices:
-            img = self.dataset.load_image(i)
-            boxes, labels = self.dataset.load_annotations(i)
-            img, boxes, size = self.transform(img, boxes, rng)
+            img, boxes, labels, size = self._load_one(i, rng)
             images.append(img)
             sizes.append(size)
             all_boxes.append(boxes)
@@ -202,19 +257,56 @@ class TestLoader:
     def __len__(self):
         return self.end - self.start
 
+    def _load_native(self, i: int):
+        nat = _native()
+        if nat is None:
+            return None
+        info = self.dataset.get_img_info(i)
+        oh, ow = info["height"], info["width"]
+        nh, nw = get_resize_size(
+            (oh, ow), self.transform.scale, self.transform.max_size
+        )
+        bucket = (
+            self.buckets["landscape"] if nw >= nh else self.buckets["portrait"]
+        )
+        try:
+            with open(self.dataset.image_path(i), "rb") as f:
+                data = f.read()
+            img, _ = nat.decode_resize_normalize(
+                data, (nh, nw), bucket,
+                self.transform.pixel_means, self.transform.pixel_stds,
+                self.transform.to_bgr255,
+            )
+        except RuntimeError:
+            return None
+        if self.hflip:
+            # flip only the valid region, keep padding on the right
+            flipped = np.zeros_like(img)
+            flipped[:nh, :nw] = img[:nh, nw - 1 :: -1]
+            img = flipped
+        return img, (nh, nw), (oh, ow)
+
     def __iter__(self):
         for i in range(self.start, self.end):
-            img = self.dataset.load_image(i)
-            if self.hflip:
-                img = np.ascontiguousarray(img[:, ::-1])
-            orig_h, orig_w = img.shape[:2]
-            norm, (nh, nw), scale_hw = self.transform(img)
-            bucket = (
-                self.buckets["landscape"] if nw >= nh else self.buckets["portrait"]
-            )
-            bh, bw = bucket
-            out = np.zeros((1, bh, bw, 3), np.float32)
-            out[0, :nh, :nw] = norm[:bh, :bw]
+            native_out = self._load_native(i)
+            if native_out is not None:
+                img, (nh, nw), (orig_h, orig_w) = native_out
+                out = img[None]
+                scale_hw = (nh / orig_h, nw / orig_w)
+            else:
+                img = self.dataset.load_image(i)
+                if self.hflip:
+                    img = np.ascontiguousarray(img[:, ::-1])
+                orig_h, orig_w = img.shape[:2]
+                norm, (nh, nw), scale_hw = self.transform(img)
+                bucket = (
+                    self.buckets["landscape"]
+                    if nw >= nh
+                    else self.buckets["portrait"]
+                )
+                bh, bw = bucket
+                out = np.zeros((1, bh, bw, 3), np.float32)
+                out[0, :nh, :nw] = norm[:bh, :bw]
             yield dict(
                 index=i,
                 image_id=self.dataset.id_to_img_map[i],
