@@ -263,3 +263,86 @@ def matrix_nms(
             axis=0,
         )
     return jnp.where(mask, scores * decay, scores)
+
+
+def ml_soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    max_output: int,
+    sigma: float = 0.5,
+    overlap_thresh: float = 0.3,
+    score_thresh: float = 0.001,
+    method: str = "linear",
+    mask: jnp.ndarray | None = None,
+    legacy_plus1: bool = True,
+):
+    """Label-aware soft-NMS (csrc/NMS/ml_soft_nms.cpp) via the
+    coordinate-offset trick: boxes of different labels never decay each
+    other."""
+    if mask is None:
+        mask = jnp.ones(boxes.shape[:1], bool)
+    max_coord = jnp.max(jnp.where(mask[:, None], boxes, 0.0)) + 1.0
+    shifted = boxes + (labels.astype(boxes.dtype) * max_coord)[:, None]
+    return soft_nms(
+        shifted, scores, max_output, sigma, overlap_thresh, score_thresh,
+        method, mask, legacy_plus1,
+    )
+
+
+def box_ml_voting(
+    top_boxes: jnp.ndarray,
+    top_scores: jnp.ndarray,
+    top_labels: jnp.ndarray,
+    pool_boxes: jnp.ndarray,
+    pool_scores: jnp.ndarray,
+    pool_labels: jnp.ndarray,
+    thresh: float,
+    scoring_method: str = "ID",
+    beta: float = 1.0,
+    top_mask: jnp.ndarray | None = None,
+    pool_mask: jnp.ndarray | None = None,
+    legacy_plus1: bool = True,
+):
+    """Label-aware box voting (csrc/Box_ops/box_ml_voting.cu): only
+    same-label pool boxes vote."""
+    if top_mask is None:
+        top_mask = jnp.ones(top_boxes.shape[:1], bool)
+    if pool_mask is None:
+        pool_mask = jnp.ones(pool_boxes.shape[:1], bool)
+    same = top_labels[:, None] == pool_labels[None, :]
+    return _box_ml_voting_impl(
+        top_boxes, top_scores, pool_boxes, pool_scores, same, thresh,
+        scoring_method, beta, top_mask, pool_mask, legacy_plus1,
+    )
+
+
+def _box_ml_voting_impl(
+    top_boxes, top_scores, pool_boxes, pool_scores, same, thresh,
+    scoring_method, beta, top_mask, pool_mask, legacy_plus1,
+):
+    iou = box_iou(top_boxes, pool_boxes, legacy_plus1=legacy_plus1)
+    w = (iou >= thresh) & top_mask[:, None] & pool_mask[None, :] & same
+    wf = w.astype(top_boxes.dtype) * jnp.clip(pool_scores, 0.0)[None, :]
+    wsum = jnp.maximum(jnp.sum(wf, axis=1, keepdims=True), 1e-12)
+    voted = (wf @ pool_boxes) / wsum
+    nvote = jnp.maximum(jnp.sum(w, axis=1), 1)
+    if scoring_method == "ID":
+        scores = top_scores
+    elif scoring_method in ("AVG", "TEMP_AVG"):
+        scores = jnp.sum(jnp.where(w, pool_scores[None, :], 0.0), axis=1) / nvote
+    elif scoring_method == "IOU_AVG":
+        wi = jnp.where(w, iou, 0.0)
+        scores = jnp.sum(wi * pool_scores[None, :], axis=1) / jnp.maximum(
+            jnp.sum(wi, axis=1), 1e-12
+        )
+    elif scoring_method == "GENERALIZED_AVG":
+        p = jnp.where(w, jnp.clip(pool_scores, 1e-12)[None, :] ** beta, 0.0)
+        scores = (jnp.sum(p, axis=1) / nvote) ** (1.0 / beta)
+    elif scoring_method == "QUASI_SUM":
+        scores = jnp.sum(jnp.where(w, pool_scores[None, :], 0.0), axis=1) / (
+            nvote.astype(top_boxes.dtype) ** beta
+        )
+    else:
+        raise ValueError(scoring_method)
+    return voted, scores
