@@ -143,3 +143,126 @@ def iou_loss(
         return jnp.mean(loss)
     m = mask.astype(loss.dtype)
     return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def bounded_iou_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    beta: float = 0.2,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Bounded IoU loss (lib/ops/iou_loss.py BoundedIoULoss; Tychsen-Smith
+    & Petersson 2018). xyxy boxes."""
+    pcx = (pred[..., 0] + pred[..., 2]) * 0.5
+    pcy = (pred[..., 1] + pred[..., 3]) * 0.5
+    pw = pred[..., 2] - pred[..., 0]
+    ph = pred[..., 3] - pred[..., 1]
+    tcx = (target[..., 0] + target[..., 2]) * 0.5
+    tcy = (target[..., 1] + target[..., 3]) * 0.5
+    tw = target[..., 2] - target[..., 0]
+    th = target[..., 3] - target[..., 1]
+
+    dx = tcx - pcx
+    dy = tcy - pcy
+    loss_dx = 1.0 - jnp.maximum(
+        (tw - 2 * jnp.abs(dx)) / (tw + 2 * jnp.abs(dx) + eps), 0.0
+    )
+    loss_dy = 1.0 - jnp.maximum(
+        (th - 2 * jnp.abs(dy)) / (th + 2 * jnp.abs(dy) + eps), 0.0
+    )
+    loss_dw = 1.0 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+    loss_dh = 1.0 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+    # huber-ize
+    loss = jnp.where(
+        comb < beta, 0.5 * comb * comb / beta, comb - 0.5 * beta
+    ).sum(axis=-1)
+    if mask is None:
+        return jnp.mean(loss)
+    m = mask.astype(loss.dtype)
+    return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def label_smoothing_ce(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    smoothing: float = 0.1,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Label-smoothed cross entropy (lib/ops/label_smoothing.py)."""
+    c = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(jnp.maximum(labels, 0), c, dtype=logits.dtype)
+    soft = onehot * (1.0 - smoothing) + smoothing / c
+    nll = -jnp.sum(soft * logp, axis=-1)
+    if mask is None:
+        return jnp.mean(nll)
+    m = mask.astype(nll.dtype)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def dice_loss(
+    logits: jnp.ndarray, targets: jnp.ndarray, eps: float = 1.0
+) -> jnp.ndarray:
+    """DICE loss over sigmoid probabilities (lib/ops/dice_loss.py)."""
+    p = jax.nn.sigmoid(logits).reshape(logits.shape[0], -1)
+    t = targets.reshape(targets.shape[0], -1).astype(p.dtype)
+    inter = jnp.sum(p * t, axis=1)
+    denom = jnp.sum(p, axis=1) + jnp.sum(t, axis=1)
+    return jnp.mean(1.0 - (2 * inter + eps) / (denom + eps))
+
+
+def lovasz_hinge(
+    logits: jnp.ndarray, labels: jnp.ndarray
+) -> jnp.ndarray:
+    """Lovasz hinge for binary segmentation (lib/ops/lovasz_hinge_loss.py).
+
+    logits/labels flattened per batch row; labels in {0, 1}.
+    """
+    def per_image(lg, lb):
+        signs = 2.0 * lb - 1.0
+        errors = 1.0 - lg * signs
+        order = jnp.argsort(-errors)
+        errors_sorted = errors[order]
+        lb_sorted = lb[order]
+        gts = jnp.sum(lb_sorted)
+        intersection = gts - jnp.cumsum(lb_sorted)
+        union = gts + jnp.cumsum(1.0 - lb_sorted)
+        jaccard = 1.0 - intersection / jnp.maximum(union, 1e-7)
+        jaccard = jnp.concatenate(
+            [jaccard[:1], jaccard[1:] - jaccard[:-1]]
+        )
+        return jnp.sum(jax.nn.relu(errors_sorted) * jaccard)
+
+    lg = logits.reshape(logits.shape[0], -1)
+    lb = labels.reshape(labels.shape[0], -1).astype(lg.dtype)
+    return jnp.mean(jax.vmap(per_image)(lg, lb))
+
+
+def equalization_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_freq: jnp.ndarray,
+    lambda_thresh: float = 1.76e-3,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Equalization loss (Tan et al., lib/ops/equalization_loss.py):
+    sigmoid BCE where the negative-gradient term of rare classes
+    (freq < lambda) is suppressed for foreground samples."""
+    n, c = logits.shape
+    onehot = jax.nn.one_hot(jnp.maximum(labels, 0), c, dtype=logits.dtype)
+    rare = (class_freq < lambda_thresh).astype(logits.dtype)[None, :]
+    is_fg = (labels > 0).astype(logits.dtype)[:, None]
+    # weight: 1 - E(r) * T_lambda(f_j) * (1 - y_j)
+    w = 1.0 - is_fg * rare * (1.0 - onehot)
+    bce = (
+        jnp.maximum(logits, 0)
+        - logits * onehot
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    loss = jnp.sum(w * bce, axis=-1)
+    if mask is None:
+        return jnp.mean(loss)
+    m = mask.astype(loss.dtype)
+    return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
