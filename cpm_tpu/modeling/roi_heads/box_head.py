@@ -207,6 +207,10 @@ def filter_detections(
     use_soft_nms: bool = False,
     soft_nms_sigma: float = 0.5,
     soft_nms_method: str = "linear",
+    use_box_voting: bool = False,
+    vote_thresh: float = 0.8,
+    vote_scoring_method: str = "ID",
+    vote_beta: float = 1.0,
 ) -> Detections:
     """Fixed-shape multiclass filtering.
 
@@ -261,4 +265,24 @@ def filter_detections(
         top_boxes, top_scores, top_labels, top_valid
     )
     ds = jnp.where(dm, ds, 0.0)
+
+    if use_box_voting:
+        # refine kept boxes against the pre-NMS candidate pool
+        # (boxlist_box_voting, inference.py:137-144)
+        from cpm_tpu.ops.nms import box_ml_voting
+
+        def _vote(kb, ks, kl, km, pb, ps, pl, pv):
+            voted, vscores = box_ml_voting(
+                kb, ks, kl, pb, ps, pl, vote_thresh,
+                scoring_method=vote_scoring_method, beta=vote_beta,
+                top_mask=km, pool_mask=pv,
+            )
+            return voted, vscores
+
+        vb, vs = jax.vmap(_vote)(
+            db, ds, dl, dm, top_boxes, top_scores, top_labels, top_valid
+        )
+        db = jnp.where(dm[..., None], vb, db)
+        ds = jnp.where(dm, vs, ds)
+
     return Detections(boxes=db, scores=ds, labels=dl, mask=dm)

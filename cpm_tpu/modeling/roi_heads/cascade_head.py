@@ -320,6 +320,10 @@ class CascadeRCNNHead(nn.Module):
                     use_soft_nms=c.TEST.SOFT_NMS.ENABLED,
                     soft_nms_sigma=c.TEST.SOFT_NMS.SIGMA,
                     soft_nms_method=c.TEST.SOFT_NMS.METHOD,
+                    use_box_voting=c.TEST.BBOX_VOTE.ENABLED,
+                    vote_thresh=c.TEST.BBOX_VOTE.VOTE_TH,
+                    vote_scoring_method=c.TEST.BBOX_VOTE.SCORING_METHOD,
+                    vote_beta=c.TEST.BBOX_VOTE.SCORING_METHOD_BETA,
                 )
                 if cc.RESCORE_ON:
                     dets = self._test_rescore(features, dets)

@@ -1,0 +1,36 @@
+"""Model measurement: parameter counts and FLOPs.
+
+Replaces the reference's measure.py / analyser.py (pet/utils/measure.py:99,
+dead lib/utils/analyser.py) with jax-native implementations: params from
+the pytree, FLOPs from XLA's own cost analysis of the jitted forward —
+exact for the compiled program rather than a per-module estimate.
+"""
+
+from typing import Callable, Dict
+
+import jax
+import numpy as np
+
+
+def count_params(params) -> int:
+    return sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
+    )
+
+
+def param_breakdown(params) -> Dict[str, int]:
+    """Top-level module -> parameter count."""
+    out = {}
+    for key, sub in params.items():
+        out[key] = count_params(sub)
+    return out
+
+
+def flops_of(fn: Callable, *args) -> float:
+    """FLOPs of the jitted fn(*args) from XLA cost analysis."""
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops", -1.0))
