@@ -132,3 +132,56 @@ def build_dataset(cfg, names, is_train: bool) -> List[COCODataset]:
             )
         )
     return datasets
+
+
+class ConcatDataset:
+    """Multi-dataset union (pet/utils/data/datasets/concat_dataset.py)."""
+
+    def __init__(self, datasets):
+        assert len(datasets) > 0
+        self.datasets = list(datasets)
+        self.offsets = []
+        total = 0
+        for d in self.datasets:
+            self.offsets.append(total)
+            total += len(d)
+        self.total = total
+        # category mapping must agree across datasets
+        self.json_category_id_to_contiguous_id = self.datasets[
+            0
+        ].json_category_id_to_contiguous_id
+        self.contiguous_category_id_to_json_id = self.datasets[
+            0
+        ].contiguous_category_id_to_json_id
+
+    def __len__(self):
+        return self.total
+
+    def _locate(self, index):
+        for d, off in zip(
+            reversed(self.datasets), reversed(self.offsets)
+        ):
+            if index >= off:
+                return d, index - off
+        raise IndexError(index)
+
+    def get_img_info(self, index):
+        d, i = self._locate(index)
+        return d.get_img_info(i)
+
+    def image_path(self, index):
+        d, i = self._locate(index)
+        return d.image_path(i)
+
+    def load_image(self, index):
+        d, i = self._locate(index)
+        return d.load_image(i)
+
+    def load_annotations(self, index):
+        d, i = self._locate(index)
+        return d.load_annotations(i)
+
+    def aspect_ratios(self):
+        import numpy as _np
+
+        return _np.concatenate([d.aspect_ratios() for d in self.datasets])

@@ -74,7 +74,12 @@ def main():
     local_batch = max(global_batch // world, n_devices)
 
     datasets = build_dataset(cfg, cfg.TRAIN.DATASETS, is_train=True)
-    dataset = datasets[0]
+    if len(datasets) == 1:
+        dataset = datasets[0]
+    else:
+        from cpm_tpu.data.coco import ConcatDataset
+
+        dataset = ConcatDataset(datasets)
     loader = TrainLoader(
         cfg, dataset, local_batch, rank=rank, world_size=world,
         seed=cfg.SEED,
