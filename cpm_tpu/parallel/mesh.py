@@ -19,9 +19,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first num_devices devices."""
+    """1-D data-parallel mesh over the first num_devices devices.
+
+    Raises if fewer than num_devices devices exist — silently truncating
+    would mask a misconfigured multi-chip launch.
+    """
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"make_mesh: asked for {num_devices} devices but the "
+                f"backend has {len(devices)} "
+                f"({[d.platform for d in devices[:4]]}...). For CPU-hosted "
+                "multi-device tests set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                "--xla_force_host_platform_device_count=<n> before jax "
+                "backend init."
+            )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis_name,))
 

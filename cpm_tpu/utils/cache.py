@@ -7,16 +7,24 @@ near-instant for unchanged programs.
 """
 
 import os
+import platform
 
 
 def enable_persistent_cache(cache_dir: str = None):
     import jax
 
     if cache_dir is None:
+        # key by machine + cpu so AOT executables cached on one host are
+        # never loaded on another (XLA:CPU AOT results are
+        # machine-feature-specific and can SIGILL cross-machine)
+        tag = f"{platform.node()}-{platform.machine()}"
         cache_dir = os.environ.get(
             "CPM_TPU_JAX_CACHE",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+            os.path.join(
+                os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                f".jax_cache-{tag}",
+            ),
         )
     os.makedirs(cache_dir, exist_ok=True)
     try:

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Attribute CPM train-step time across pipeline stages on the real chip.
+
+Times progressively larger jitted slices of the flagship train config
+(R-50-FPN CPM, batch 2, 832x1344) so the per-stage cost is the difference
+between consecutive rows. Run: python tools/profile_step.py [--tiny]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def timed(name, fn, *args, iters=4):
+    import jax
+
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    steady = (time.time() - t0) / iters
+    print(f"{name:44s} compile {compile_s:7.1f}s   steady {steady*1e3:9.1f} ms")
+    return steady
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--height", type=int, default=832)
+    ap.add_argument("--width", type=int, default=1344)
+    ap.add_argument("--part", default="all")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cpm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from __graft_entry__ import _flagship_cfg
+    from cpm_tpu.data.synthetic import synthetic_batch
+    from cpm_tpu.engine.train import (
+        batch_gt,
+        create_train_state,
+        make_train_step,
+    )
+    from cpm_tpu.modeling.model import _roi_scales
+    from cpm_tpu.solver import build_optimizer, make_lr_fn
+
+    cfg = _flagship_cfg(tiny=False)
+    cfg.RPN.PRE_NMS_TOP_N_TRAIN = 2000
+
+    batch = synthetic_batch(
+        batch_size=args.batch, height=args.height, width=args.width,
+        max_gt=32, num_classes=81, seed=0,
+    )
+    model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    params = state.params
+    print(f"batch {args.batch} @ {args.height}x{args.width}")
+
+    images, sizes = batch["images"], batch["image_sizes"]
+    gt = batch_gt(batch)
+    rng = jax.random.PRNGKey(7)
+
+    def bound(p):
+        return model.bind({"params": p}, rngs={"sample": rng})
+
+    want = args.part
+
+    if want in ("all", "backbone"):
+        @jax.jit
+        def backbone_fwd(p, images):
+            return bound(p)._features(images)
+
+        timed("backbone+fpn fwd", backbone_fwd, params, images)
+
+    if want in ("all", "rpn"):
+        @jax.jit
+        def rpn_fwd(p, images, sizes):
+            m = bound(p)
+            feats = m._features(images)
+            objectness, box_reg = m.rpn_head(feats)
+            return objectness, box_reg
+
+        timed("backbone+fpn+rpn-head fwd", rpn_fwd, params, images)
+
+        @jax.jit
+        def rpn_select(p, images, sizes, gt):
+            m = bound(p)
+            c = m.cfg
+            feats = m._features(images)
+            objectness, box_reg = m.rpn_head(feats)
+            layout = m._anchor_layout(feats)
+            from cpm_tpu.modeling.rpn import select_proposals
+
+            return select_proposals(
+                layout, objectness, box_reg, sizes,
+                gt_boxes=gt["boxes"], gt_mask=gt["mask"],
+                pre_nms_top_n=c.RPN.PRE_NMS_TOP_N_TRAIN,
+                post_nms_top_n=c.RPN.POST_NMS_TOP_N_TRAIN,
+                nms_thresh=c.RPN.NMS_THRESH,
+                min_size=c.RPN.MIN_SIZE,
+                fpn_post_nms_top_n=c.RPN.FPN_POST_NMS_TOP_N_TRAIN,
+                fpn_post_nms_per_batch=c.RPN.FPN_POST_NMS_PER_BATCH,
+                is_train=True,
+                box_coder=m.rpn_box_coder,
+            )
+
+        timed("... + proposal selection", rpn_select, params, images, sizes, gt)
+
+    if want in ("all", "fwd"):
+        @jax.jit
+        def full_fwd(p, images, sizes, gt):
+            losses = model.apply(
+                {"params": p}, images, sizes, gt=gt, train=True,
+                rngs={"sample": rng},
+            )
+            return sum(losses.values())
+
+        timed("full train fwd (loss)", full_fwd, params, images, sizes, gt)
+
+    if want in ("all", "step"):
+        train_step = jax.jit(make_train_step(cfg, model, tx))
+        t0 = time.time()
+        s2, metrics = train_step(state, batch)
+        jax.block_until_ready(metrics)
+        print(f"{'full train step (fwd+bwd+sgd)':44s} compile {time.time()-t0:7.1f}s")
+        t0 = time.time()
+        iters = 4
+        for _ in range(iters):
+            state, metrics = train_step(state, batch)
+        jax.block_until_ready(metrics)
+        steady = (time.time() - t0) / iters
+        print(f"{'full train step (fwd+bwd+sgd)':44s} steady  {steady*1e3:9.1f} ms "
+              f"= {args.batch/steady:.3f} img/s")
+
+
+if __name__ == "__main__":
+    main()
