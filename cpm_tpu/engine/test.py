@@ -6,9 +6,15 @@ evaluation): per image — forward at TEST.SCALE, rescale boxes to original
 coordinates, convert to COCO xywh results with json category ids, then
 COCOeval (here the in-repo COCOEvaluator).
 
-TTA (TEST.BBOX_AUG): h-flip and multi-scale passes are merged by simple
-concatenation of per-pass detections (im_detect_bbox, core/test.py:13-49;
-grid models skip re-filtering, :46-47).
+TTA (TEST.BBOX_AUG): per-pass detections are mapped to original image
+coordinates, concatenated, then filtered ONCE by the module-level
+filter_results equivalent (im_detect_bbox, core/test.py:44-48: re-filter
+runs for non-grid models always and for grid models when BBOX_AUG is on;
+filter_results:433-509 reads the FAST_RCNN.* thresholds for every family
+and applies ml_nms, or per-class soft-NMS / box-voting when
+TEST.SOFT_NMS / TEST.BBOX_VOTE are enabled, then caps to
+DETECTIONS_PER_IMG). The merged set has a fixed size (passes x K padded
+detections), so the merge filter is one jitted program.
 
 The per-image forward is jitted once per (bucket shape); the detection
 post-processing back to original coordinates is host-side numpy (cheap).
@@ -16,13 +22,16 @@ post-processing back to original coordinates is host-side numpy (cheap).
 
 import json
 import os
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cpm_tpu.data.loader import TestLoader
 from cpm_tpu.modeling.model import build_model
+from cpm_tpu.ops.nms import box_ml_voting, ml_soft_nms, multiclass_nms
 
 
 def detections_to_coco(
@@ -61,13 +70,100 @@ def detections_to_coco(
 
 
 def make_forward_fn(cfg, model, params):
-    """Jitted eval forward, compiled per input shape bucket."""
+    """Jitted eval forward, compiled per input shape bucket. Runs in
+    TPU.COMPUTE_DTYPE (bf16 on TPU) with f32 box arithmetic inside."""
+    from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
+
+    cdtype = compute_dtype(cfg)
+    params = cast_floating_to(params, cdtype)
 
     @jax.jit
     def forward(images, image_sizes):
-        return model.apply({"params": params}, images, image_sizes, train=False)
+        return model.apply(
+            {"params": params}, images.astype(cdtype), image_sizes,
+            train=False,
+        )
 
     return forward
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "score_thresh", "nms_thresh", "detections_per_img",
+        "use_soft_nms", "soft_nms_sigma", "soft_nms_method",
+        "use_box_voting", "vote_thresh", "vote_scoring_method", "vote_beta",
+    ),
+)
+def _merged_filter(
+    boxes, scores, labels, mask, *,
+    score_thresh, nms_thresh, detections_per_img,
+    use_soft_nms=False, soft_nms_sigma=0.5, soft_nms_method="linear",
+    use_box_voting=False, vote_thresh=0.8, vote_scoring_method="ID",
+    vote_beta=1.0,
+):
+    """filter_results (core/test.py:433-509) over a flat labeled set.
+
+    boxes [N,4], scores [N], labels [N] (1..C-1), mask [N]. Returns
+    fixed-size (boxes, scores, labels, valid) of detections_per_img.
+    """
+    valid = mask & (scores > score_thresh)
+    if use_soft_nms:
+        idx, new_scores, keep = ml_soft_nms(
+            boxes, scores, labels, detections_per_img,
+            sigma=soft_nms_sigma, overlap_thresh=nms_thresh,
+            score_thresh=1e-4, method=soft_nms_method, mask=valid,
+        )
+        out_boxes = boxes[idx]
+        out_scores = new_scores
+        out_labels = labels[idx]
+    else:
+        idx, keep = multiclass_nms(
+            boxes, scores, labels, nms_thresh, detections_per_img, mask=valid
+        )
+        out_boxes = boxes[idx]
+        out_scores = jnp.where(keep, scores[idx], 0.0)
+        out_labels = labels[idx]
+    if use_box_voting:
+        voted, vscores = box_ml_voting(
+            out_boxes, out_scores, out_labels,
+            boxes, scores, labels,
+            vote_thresh, scoring_method=vote_scoring_method, beta=vote_beta,
+            top_mask=keep, pool_mask=valid,
+        )
+        out_boxes = jnp.where(keep[:, None], voted, out_boxes)
+        out_scores = jnp.where(keep, vscores, 0.0)
+    return out_boxes, out_scores, out_labels, keep
+
+
+def merge_tta_detections(cfg, per_pass_dets: List[Dict[str, np.ndarray]]):
+    """Concat per-pass detections (already in a common coordinate frame)
+    and run the single post-merge filter (core/test.py:46-48)."""
+    boxes = np.concatenate([d["boxes"] for d in per_pass_dets], axis=0)
+    scores = np.concatenate([d["scores"] for d in per_pass_dets], axis=0)
+    labels = np.concatenate([d["labels"] for d in per_pass_dets], axis=0)
+    mask = np.concatenate([d["mask"] for d in per_pass_dets], axis=0)
+    t = cfg.TEST
+    out_boxes, out_scores, out_labels, keep = _merged_filter(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        jnp.asarray(labels), jnp.asarray(mask),
+        score_thresh=cfg.FAST_RCNN.SCORE_THRESH,
+        nms_thresh=cfg.FAST_RCNN.NMS,
+        detections_per_img=cfg.FAST_RCNN.DETECTIONS_PER_IMG,
+        use_soft_nms=t.SOFT_NMS.ENABLED,
+        soft_nms_sigma=t.SOFT_NMS.SIGMA,
+        soft_nms_method=t.SOFT_NMS.METHOD,
+        use_box_voting=t.BBOX_VOTE.ENABLED,
+        vote_thresh=t.BBOX_VOTE.VOTE_TH,
+        vote_scoring_method=t.BBOX_VOTE.SCORING_METHOD,
+        vote_beta=t.BBOX_VOTE.SCORING_METHOD_BETA,
+    )
+    return dict(
+        boxes=np.asarray(out_boxes),
+        scores=np.asarray(out_scores),
+        labels=np.asarray(out_labels),
+        mask=np.asarray(keep),
+    )
 
 
 def _unflip_dets(dets_np, resized_w):
@@ -121,9 +217,10 @@ def run_inference_on_dataset(
     ]
 
     c2j = dataset.contiguous_category_id_to_json_id
+    tta = len(passes) > 1
     n_done = 0
     for items in zip(*loaders):
-        per_image: List[dict] = []
+        per_pass: List[Dict[str, np.ndarray]] = []
         for p, item in zip(passes, items):
             dets = forward(item["images"], item["image_sizes"])
             dets_np = dict(
@@ -136,15 +233,28 @@ def run_inference_on_dataset(
                 dets_np = _unflip_dets(
                     dets_np, int(item["image_sizes"][0, 1])
                 )
-            per_image.extend(
+            if tta:
+                # map to original image coords so all passes share a frame
+                sh, sw = item["scale_hw"]
+                b = dets_np["boxes"].copy()
+                b[:, 0::2] /= sw
+                b[:, 1::2] /= sh
+                dets_np["boxes"] = b
+            per_pass.append((dets_np, item))
+        if tta:
+            merged = merge_tta_detections(cfg, [d for d, _ in per_pass])
+            results.extend(
                 detections_to_coco(
-                    dets_np,
-                    item["image_id"],
-                    item["scale_hw"],
-                    c2j,
+                    merged, per_pass[0][1]["image_id"], (1.0, 1.0), c2j
                 )
             )
-        results.extend(per_image)
+        else:
+            dets_np, item = per_pass[0]
+            results.extend(
+                detections_to_coco(
+                    dets_np, item["image_id"], item["scale_hw"], c2j
+                )
+            )
         n_done += 1
         if progress_every and n_done % progress_every == 0:
             logger(f"inference: {n_done}/{len(loaders[0])} images")

@@ -16,6 +16,7 @@ from flax import struct
 from cpm_tpu.modeling.model import build_model
 from cpm_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from cpm_tpu.solver import build_optimizer, make_lr_fn
+from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
 
 
 @struct.dataclass
@@ -65,21 +66,31 @@ def create_train_state(cfg, rng, sample_batch):
 
 
 def make_train_step(cfg, model, tx) -> Callable:
-    """Returns train_step(state, batch) -> (state, metrics)."""
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    Mixed precision (TPU.COMPUTE_DTYPE=bfloat16): params and images are
+    cast to bf16 inside the loss — convs/matmuls run bf16 on the MXU —
+    while the f32 master params receive f32 gradients through the cast
+    (see cpm_tpu.utils.amp).
+    """
     lr_fn = make_lr_fn(cfg.SOLVER)
+    cdtype = compute_dtype(cfg)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         step_rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
+            p = cast_floating_to(params, cdtype)
+            images = batch["images"].astype(cdtype)
             losses = model.apply(
-                {"params": params},
-                batch["images"],
+                {"params": p},
+                images,
                 batch["image_sizes"],
                 gt=batch_gt(batch),
                 train=True,
                 rngs={"sample": step_rng},
             )
+            losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
             total = sum(losses.values())
             return total, losses
 

@@ -89,6 +89,7 @@ class FastRCNNHead(nn.Module):
         train: bool = False,
     ):
         c = self.cfg
+        features = features[: len(_roi_scales(c))]
         if train:
             key = self.make_rng("sample")
             sampled = subsample_rois(
@@ -267,8 +268,10 @@ class GeneralizedRCNN(nn.Module):
             )
             if c.MODEL.RPN_ONLY:
                 return losses
+            # heads slice to their RoI levels internally; the full level
+            # list is needed by ENHANCE_FEATURES (P6 mixes into P5)
             head_losses = self.roi_head(
-                feats[: len(_roi_scales(c))],
+                feats,
                 proposals,
                 prop_mask,
                 image_sizes,
@@ -289,7 +292,7 @@ class GeneralizedRCNN(nn.Module):
                 mask=prop_mask,
             )
         return self.roi_head(
-            feats[: len(_roi_scales(c))],
+            feats,
             proposals,
             prop_mask,
             image_sizes,

@@ -113,7 +113,9 @@ class BoxOutput(nn.Module):
             kernel_init=nn.initializers.normal(0.001),
             name="bbox_pred",
         )(x)
-        return cls_score, bbox_pred
+        # logits/deltas upcast to f32: decode + losses are
+        # precision-sensitive under bf16 compute
+        return cls_score.astype(jnp.float32), bbox_pred.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------

@@ -137,6 +137,8 @@ class CascadeRCNNHead(nn.Module):
     ):
         c = self.cfg
         cc = c.CASCADE_RCNN
+        n_lvl = c.FPN.ROI_MAX_LEVEL - c.FPN.ROI_MIN_LEVEL + 1
+        features = features[:n_lvl]
         if train:
             return self._forward_train(
                 features, proposals, prop_mask, image_sizes, gt

@@ -34,6 +34,8 @@ from cpm_tpu.modeling.roi_heads.grid_modules import (
 )
 from cpm_tpu.modeling.roi_heads.grid_ops import (
     better_roi_mask,
+    enhance_features,
+    extend_rois,
     grid_decode,
     grid_targets,
     random_jitter_boxes,
@@ -133,6 +135,7 @@ class GridCascadeRCNNHead(nn.Module):
                     sampling_ratio=g.ROI_XFORM_SAMPLING_RATIO,
                     fused_on=g.FUSED_ON,
                     finest_level_only=g.FINEST_LEVEL_ROI,
+                    offset_on=g.OFFSET_ON,
                     name=f"grid_head_{s}",
                 )
             )
@@ -145,6 +148,7 @@ class GridCascadeRCNNHead(nn.Module):
                     ),
                     se_on=g.SE_ON,
                     fused_on=g.FUSED_ON,
+                    offset_on=g.OFFSET_ON,
                     name=f"grid_output_{s}",
                 )
             )
@@ -219,6 +223,12 @@ class GridCascadeRCNNHead(nn.Module):
         g = c.GRID_RCNN
         losses = {}
         key = self.make_rng("sample")
+        if g.ENHANCE_FEATURES:
+            # grid-branch-only cross-level mixing (grid_cascade_rcnn.py:104)
+            features = enhance_features(features)
+        else:
+            n_lvl = c.FPN.ROI_MAX_LEVEL - c.FPN.ROI_MIN_LEVEL + 1
+            features = features[:n_lvl]
 
         # stage-0 input: <=MAX_SAMPLE_NUM_GRID positives of the cls sample
         # (keep_only_positive_boxes, rcnn/utils/misc.py:54-76)
@@ -245,6 +255,12 @@ class GridCascadeRCNNHead(nn.Module):
                 stage_mask = stage_mask & better_roi_mask(
                     boxes, matched_gt, g.BETTER_ROI_RATIO
                 )
+            if g.EXTEND_ROI:
+                # 2x growth applied after matching, before target prep /
+                # pooling / decode (grid_cascade_rcnn.py:140-141: extend
+                # runs after subsample and mutates the proposals used
+                # downstream)
+                boxes = extend_rois(boxes, image_sizes[:, None, :])
 
             B, S = boxes.shape[:2]
             targets = grid_targets(
@@ -255,21 +271,22 @@ class GridCascadeRCNNHead(nn.Module):
                 grid_points=self.grid_nums[stage],
                 roi_feat_size=g.ROI_FEAT_SIZE,
                 pos_radius=g.POS_RADIUS,
+                target_refine=g.TARGET_REFINE,
             )
 
             rois = rois_with_batch_index(boxes)
-            x, x_so = self.grid_heads[stage](
+            x, x_so, x_off = self.grid_heads[stage](
                 features, rois, stage_mask.reshape(-1)
             )
             grid_logits, iou_logits = self.grid_outputs[stage](
-                x, x_so, train=True
+                x, x_so, x_off, train=True
             )
 
             flat_mask = stage_mask.reshape(-1)
             loss_grid = _masked_bce_mean(
                 grid_logits["unfused"], targets, flat_mask
             )
-            if g.FUSED_ON:
+            if grid_logits["fused"] is not None and (g.FUSED_ON or g.OFFSET_ON):
                 loss_grid = loss_grid + _masked_bce_mean(
                     grid_logits["fused"], targets, flat_mask
                 )
@@ -330,11 +347,21 @@ class GridCascadeRCNNHead(nn.Module):
         # negatives of the cls sample + grid-refined boxes
         # (get_full_sample_boxes, grid_cascade_rcnn.py:231-245)
         neg_mask = cls_sampled.mask & (cls_sampled.labels == 0)
+        key = self.make_rng("sample")
+        if g.RESCORE_OPTION.KEEP_RATIO:
+            # cap negatives at 3x the grid-positive count by random rank
+            # (grid_cascade_rcnn.py:237-242: randperm subset of negatives)
+            n_pos = jnp.sum(grid_mask.astype(jnp.int32), axis=1, keepdims=True)
+            pri = jax.random.uniform(
+                jax.random.fold_in(key, 7), neg_mask.shape
+            )
+            pri = jnp.where(neg_mask, pri, jnp.inf)
+            rank = jnp.argsort(jnp.argsort(pri, axis=1), axis=1)
+            neg_mask = neg_mask & (rank < 3 * n_pos)
         union_boxes = jnp.concatenate(
             [cls_sampled.boxes, grid_boxes], axis=1
         )
         union_mask = jnp.concatenate([neg_mask, grid_mask], axis=1)
-        key = self.make_rng("sample")
         sampled = subsample_rois(
             union_boxes,
             union_mask,
@@ -387,14 +414,32 @@ class GridCascadeRCNNHead(nn.Module):
     def _test_cascade(self, features, dets: Detections, image_sizes):
         c = self.cfg
         g = c.GRID_RCNN
+        if g.ENHANCE_FEATURES:
+            features = enhance_features(features)
+        else:
+            n_lvl = c.FPN.ROI_MAX_LEVEL - c.FPN.ROI_MIN_LEVEL + 1
+            features = features[:n_lvl]
         boxes, scores, mask = dets.boxes, dets.scores, dets.mask
         B, S = boxes.shape[:2]
         sizes_per_roi = jnp.repeat(image_sizes, S, axis=0)
+        # NOTE on TEST_STAGE < STAGE_NUM: the loop runs stages
+        # [0, test_stage) and ISM fires only at stage == STAGE_NUM-1 —
+        # exactly the reference semantics (grid_cascade_rcnn.py:175-186
+        # breaks after the post-processor of stage TEST_STAGE-1, and
+        # inference.py:172 gates ISM on the post-processor's stage being
+        # STAGE_NUM-1), so ISM never applies when TEST_STAGE < STAGE_NUM.
         for stage in range(self.test_stage):
+            if g.EXTEND_ROI:
+                # applied per stage before pooling (grid_cascade_rcnn.py
+                # :199-200 via _forward_test_grid); the decode below then
+                # operates on the extended boxes, as in the reference
+                boxes = extend_rois(boxes, image_sizes[:, None, :])
             rois = rois_with_batch_index(boxes)
-            x, x_so = self.grid_heads[stage](features, rois, mask.reshape(-1))
+            x, x_so, x_off = self.grid_heads[stage](
+                features, rois, mask.reshape(-1)
+            )
             grid_logits, iou_logits = self.grid_outputs[stage](
-                x, x_so, train=False
+                x, x_so, x_off, train=False
             )
             hm = (
                 grid_logits["fused"] if g.FUSED_ON else grid_logits["unfused"]
@@ -454,10 +499,14 @@ class GridCascadeRCNNHead(nn.Module):
     ):
         c = self.cfg
         g = c.GRID_RCNN
+        # cls/rescore branches pool over the RoI levels only; the cascade
+        # keeps the full level list for ENHANCE_FEATURES (P6 mixes into P5)
+        n_lvl = c.FPN.ROI_MAX_LEVEL - c.FPN.ROI_MIN_LEVEL + 1
+        roi_feats = features[:n_lvl]
         if train:
             losses = {}
             sampled, loss_cls = self._train_cls(
-                features, proposals, prop_mask, gt
+                roi_feats, proposals, prop_mask, gt
             )
             grid_boxes, grid_mask, loss_grid = self._train_cascade(
                 features, sampled, gt, image_sizes
@@ -467,15 +516,15 @@ class GridCascadeRCNNHead(nn.Module):
             if g.RESCORE_ON:
                 losses.update(
                     self._train_rescore(
-                        features, sampled, grid_boxes, grid_mask, gt
+                        roi_feats, sampled, grid_boxes, grid_mask, gt
                     )
                 )
             return losses
 
-        dets = self._test_cls(features, proposals, prop_mask, image_sizes)
+        dets = self._test_cls(roi_feats, proposals, prop_mask, image_sizes)
         dets = self._test_cascade(features, dets, image_sizes)
         if g.RESCORE_ON:
-            dets = self._test_rescore(features, dets)
+            dets = self._test_rescore(roi_feats, dets)
         return dets
 
 

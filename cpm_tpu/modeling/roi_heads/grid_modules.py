@@ -104,6 +104,7 @@ class GridHead(nn.Module):
     sampling_ratio: int = 2
     fused_on: bool = True
     finest_level_only: bool = False
+    offset_on: bool = False
 
     @nn.compact
     def __call__(self, features, rois, roi_mask=None):
@@ -122,6 +123,22 @@ class GridHead(nn.Module):
             roi_mask,
         )  # [R, 14, 14, C]
 
+        # OFFSET_ON auxiliary branch (grid_heads.py:81-83,156-160): k3/s2
+        # conv to 64ch + FC predicting 4 offsets per grid point from the
+        # pooled roi feature. The reference's consumer (apply_offset,
+        # grid_cascade_rcnn.py:226-228) is unimplemented upstream (raises
+        # NameError); here the offsets condition the heatmap tower via an
+        # additive embedding in GridOutput instead.
+        x_offset = None
+        if self.offset_on:
+            xo = nn.Conv(
+                64, (3, 3), strides=(2, 2), padding=1, name="offset_conv"
+            )(x)
+            xo = nn.relu(xo)
+            x_offset = nn.Dense(4 * P, name="offset_fc")(
+                xo.reshape(xo.shape[0], -1)
+            )
+
         for i in range(self.num_convs):
             stride = 2 if i == 0 else 1
             x = nn.Conv(
@@ -135,7 +152,7 @@ class GridHead(nn.Module):
         # x: [R, 7, 7, P*c], point p occupies channels [p*c, (p+1)*c)
 
         if not self.fused_on:
-            return x, None
+            return x, None, x_offset
 
         grid_size = int(math.isqrt(P))
         neighbors = get_neighbor_points(grid_size)
@@ -160,7 +177,7 @@ class GridHead(nn.Module):
                     x_fo[p_idx]
                 )
             x_so.append(acc)
-        return x, jnp.concatenate(x_so, axis=-1)
+        return x, jnp.concatenate(x_so, axis=-1), x_offset
 
 
 class GridOutput(nn.Module):
@@ -171,9 +188,10 @@ class GridOutput(nn.Module):
     iou_helper: bool = False
     se_on: bool = False
     fused_on: bool = True
+    offset_on: bool = False
 
     @nn.compact
-    def __call__(self, x, x_so, train: bool = False):
+    def __call__(self, x, x_so, x_offset=None, train: bool = False):
         P = self.grid_points
         c = self.point_feat_channels
         cout = c * P
@@ -211,6 +229,14 @@ class GridOutput(nn.Module):
         heatmap_fused = None
         if self.fused_on and x_so is not None:
             heatmap_fused = decode_tower(x_so)
+        elif self.offset_on and x_offset is not None:
+            # offset-conditioned tower (outputs.py:57-62: x2 = x + x_so with
+            # x_so derived from the offset branch; the reference's producer
+            # is unimplemented — see GridHead.offset_on note): the predicted
+            # [R, 4P] offsets are embedded to the point-feature width and
+            # added to the tower input.
+            emb = nn.Dense(cout, name="offset_emb")(x_offset)
+            heatmap_fused = decode_tower(x + emb[:, None, None, :])
         if train or not self.fused_on:
             heatmap_unfused = decode_tower(x)
         else:
@@ -225,10 +251,15 @@ class GridOutput(nn.Module):
                 2, kernel_init=nn.initializers.normal(0.01), name="iou_pred"
             )(h)
 
-        # NHWC heatmaps -> [R, P, half, half] for decode/targets
+        # NHWC heatmaps -> [R, P, half, half] for decode/targets; logits
+        # upcast to f32 (losses + grid decode are precision-sensitive)
         def to_pchw(hm):
-            return None if hm is None else jnp.transpose(hm, (0, 3, 1, 2))
+            if hm is None:
+                return None
+            return jnp.transpose(hm, (0, 3, 1, 2)).astype(jnp.float32)
 
+        if iou_logits is not None:
+            iou_logits = iou_logits.astype(jnp.float32)
         return (
             dict(fused=to_pchw(heatmap_fused), unfused=to_pchw(heatmap_unfused)),
             iou_logits,
@@ -268,4 +299,4 @@ class ClsOutput(nn.Module):
             self.num_classes,
             kernel_init=nn.initializers.normal(0.01),
             name="cls_score",
-        )(x)
+        )(x).astype(jnp.float32)

@@ -87,6 +87,7 @@ def grid_targets(
     grid_points: int = 9,
     roi_feat_size: int = 14,
     pos_radius: int = 1,
+    target_refine: bool = False,
 ) -> jnp.ndarray:
     """Vectorized heatmap targets.
 
@@ -94,6 +95,10 @@ def grid_targets(
       pos_bboxes: [N, 4] positive proposals (pre-expansion).
       pos_gt_bboxes: [N, 4] matched gt boxes.
       valid: [N] bool; invalid rois get all-zero targets.
+      target_refine: GRID_RCNN.TARGET_REFINE (loss.py:236-249) — when a
+        grid point's center falls outside the whole map, additionally mark
+        the center clamped into the map (the base rule only marks the
+        in-bounds part of the radius disc).
 
     Returns: [N, P, half, half] float32 targets, P-channel sub-region crops
     (loss.py:196-257). half = roi_feat_size * 2.
@@ -134,6 +139,14 @@ def grid_targets(
     dx = map_x[None] - cx[:, :, None, None]  # [N, P, half, half]
     dy = map_y[None] - cy[:, :, None, None]
     inside = (dx * dx + dy * dy) <= pos_radius * pos_radius
+    if target_refine:
+        oob = (
+            (cx < 0) | (cx >= whole) | (cy < 0) | (cy >= whole)
+        )  # [N, P]
+        ccx = jnp.clip(cx, 0, whole - 1)[:, :, None, None]
+        ccy = jnp.clip(cy, 0, whole - 1)[:, :, None, None]
+        at_clamped = (map_x[None] == ccx) & (map_y[None] == ccy)
+        inside = inside | (oob[:, :, None, None] & at_clamped)
     tgt = inside & ok[:, None, None, None]
     return tgt.astype(jnp.float32)
 
@@ -249,6 +262,33 @@ def extend_rois(boxes: jnp.ndarray, image_sizes: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
+
+
+def enhance_features(features: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """ENHANCE_FEATURES cross-level mixing (grid_cascade_rcnn.py:268-290).
+
+    out[i] = f[i] + nearest_down(out[i-1]) + nearest_up(f[i+1]); consumes
+    all FPN levels (P2..P6), returns the 4 RoI levels (P2..P5). NHWC.
+    """
+    out: List[jnp.ndarray] = []
+    for i, feat in enumerate(features):
+        if i > 0:
+            h, w = feat.shape[1], feat.shape[2]
+            down = jax.image.resize(
+                out[i - 1], (feat.shape[0], h, w, feat.shape[3]), "nearest"
+            )
+            feat = feat + down
+        if i < len(features) - 1:
+            h, w = feat.shape[1], feat.shape[2]
+            up = jax.image.resize(
+                features[i + 1], (feat.shape[0], h, w, feat.shape[3]),
+                "nearest",
+            )
+            feat = feat + up
+            out.append(feat)
+        else:
+            break
+    return out
 
 
 def random_jitter_boxes(

@@ -226,6 +226,9 @@ def select_proposals(
     if box_coder is None:
         box_coder = BoxCoder(weights=(1.0, 1.0, 1.0, 1.0))
     B = objectness[0].shape[0]
+    # box decode / NMS IoU always in f32 (bf16 coords quantize to ~8px)
+    objectness = [o.astype(jnp.float32) for o in objectness]
+    box_regression = [r.astype(jnp.float32) for r in box_regression]
 
     lvl_boxes, lvl_scores, lvl_valid = [], [], []
     for li, (obj, reg) in enumerate(zip(objectness, box_regression)):
@@ -317,6 +320,9 @@ def rpn_losses(
     """
     if box_coder is None:
         box_coder = BoxCoder(weights=(1.0, 1.0, 1.0, 1.0))
+    # losses and box targets in f32 regardless of compute dtype
+    objectness = [o.astype(jnp.float32) for o in objectness]
+    box_regression = [r.astype(jnp.float32) for r in box_regression]
 
     anchors = jnp.asarray(layout.all)  # [N, 4]
     obj_flat = jnp.concatenate(

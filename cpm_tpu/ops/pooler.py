@@ -7,10 +7,11 @@ Detectron rule `k = floor(k0 + log2(sqrt(area)/s0))` clamped to
 log2 argument).
 
 TPU design: instead of the reference's scatter-by-level into a zeros output
-(dynamic per-level roi counts), RoIAlign is evaluated on every level for
-every roi and the per-roi result selected by a one-hot level weight — fixed
-shapes, one compilation, and the level compute is batched onto the MXU. A
-Pallas indexed-DMA variant can remove the 4x gather overhead later.
+(dynamic per-level roi counts), all level maps are flattened into one
+buffer and each roi gathers from its assigned level's region
+(multilevel_roi_align) — fixed shapes, one compilation, and exactly 1x the
+gather/interp work (the round-1 design evaluated RoIAlign on every level
+and one-hot-selected, 4x the work).
 """
 
 import math
@@ -18,7 +19,7 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-from cpm_tpu.ops.roi_align import roi_align
+from cpm_tpu.ops.roi_align import multilevel_roi_align, roi_align
 from cpm_tpu.structures.boxes import box_area
 
 
@@ -103,14 +104,14 @@ class Pooler:
                 self.canonical_scale,
                 self.canonical_level,
             )
-            out = None
-            for i, (feat, scale) in enumerate(zip(features, self.scales)):
-                pooled = roi_align(
-                    feat, rois, self.output_size, scale, self.sampling_ratio
-                )
-                sel = (levels == (self.k_min + i)).astype(pooled.dtype)
-                part = pooled * sel[:, None, None, None]
-                out = part if out is None else out + part
+            out = multilevel_roi_align(
+                list(features),
+                rois,
+                levels - self.k_min,
+                self.output_size,
+                self.scales,
+                self.sampling_ratio,
+            )
         if roi_mask is not None:
             out = out * roi_mask.astype(out.dtype)[:, None, None, None]
         return out

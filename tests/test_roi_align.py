@@ -121,3 +121,42 @@ def test_pooler_level_selection(rng):
     # masked roi yields zeros
     out = pooler(feats, small, roi_mask=jnp.asarray([False]))
     assert np.abs(np.asarray(out)).sum() == 0
+
+
+def test_multilevel_roi_align_matches_per_level():
+    """Flattened single-gather pooling == per-level RoIAlign + one-hot
+    select (the Pooler's former formulation)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cpm_tpu.ops.roi_align import multilevel_roi_align, roi_align
+
+    rng = np.random.RandomState(3)
+    B, C = 2, 16
+    shapes = [(56, 80), (28, 40), (14, 20), (7, 10)]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    feats = [
+        jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+        for h, w in shapes
+    ]
+    R = 64
+    rois = np.zeros((R, 5), np.float32)
+    rois[:, 0] = rng.randint(0, B, R)
+    x1 = rng.rand(R) * 180
+    y1 = rng.rand(R) * 120
+    rois[:, 1], rois[:, 2] = x1, y1
+    rois[:, 3] = x1 + rng.rand(R) * 140 + 4
+    rois[:, 4] = y1 + rng.rand(R) * 100 + 4
+    rois = jnp.asarray(rois)
+    levels = jnp.asarray(rng.randint(0, 4, R).astype(np.int32))
+
+    got = multilevel_roi_align(feats, rois, levels, (7, 7), scales, 2)
+
+    want = jnp.zeros_like(got)
+    for i, (f, s) in enumerate(zip(feats, scales)):
+        pooled = roi_align(f, rois, (7, 7), s, 2)
+        sel = (levels == i).astype(pooled.dtype)
+        want = want + pooled * sel[:, None, None, None]
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )

@@ -89,7 +89,7 @@ def main():
             objectness, box_reg = m.rpn_head(feats)
             return objectness, box_reg
 
-        timed("backbone+fpn+rpn-head fwd", rpn_fwd, params, images)
+        timed("backbone+fpn+rpn-head fwd", rpn_fwd, params, images, sizes)
 
         @jax.jit
         def rpn_select(p, images, sizes, gt):
@@ -125,6 +125,121 @@ def main():
             return sum(losses.values())
 
         timed("full train fwd (loss)", full_fwd, params, images, sizes, gt)
+
+    if want in ("head",):
+        # bisect the RoI head: cls branch, grid cascade, rescore
+        @jax.jit
+        def feats_and_props(p, images, sizes, gt):
+            m = bound(p)
+            c = m.cfg
+            feats = m._features(images)
+            objectness, box_reg = m.rpn_head(feats)
+            layout = m._anchor_layout(feats)
+            from cpm_tpu.modeling.rpn import select_proposals
+
+            props, _, pmask = select_proposals(
+                layout,
+                [jax.lax.stop_gradient(o) for o in objectness],
+                [jax.lax.stop_gradient(b) for b in box_reg],
+                sizes,
+                gt_boxes=gt["boxes"], gt_mask=gt["mask"],
+                pre_nms_top_n=c.RPN.PRE_NMS_TOP_N_TRAIN,
+                post_nms_top_n=c.RPN.POST_NMS_TOP_N_TRAIN,
+                nms_thresh=c.RPN.NMS_THRESH,
+                min_size=c.RPN.MIN_SIZE,
+                fpn_post_nms_top_n=c.RPN.FPN_POST_NMS_TOP_N_TRAIN,
+                fpn_post_nms_per_batch=c.RPN.FPN_POST_NMS_PER_BATCH,
+                is_train=True,
+                box_coder=m.rpn_box_coder,
+            )
+            return feats, props, pmask
+
+        feats, props, pmask = feats_and_props(params, images, sizes, gt)
+        jax.block_until_ready(feats)
+
+        def head_slice(which):
+            def fn(p, feats, props, pmask, gt):
+                m = bound(p)
+                h = m.roi_head
+                n_lvl = (
+                    m.cfg.FPN.ROI_MAX_LEVEL - m.cfg.FPN.ROI_MIN_LEVEL + 1
+                )
+                roi_feats = [f for f in feats[:n_lvl]]
+                sampled, loss_cls = h._train_cls(
+                    roi_feats, props, pmask, gt
+                )
+                if which == "cls":
+                    return loss_cls
+                gb, gm, lg = h._train_cascade(feats, sampled, gt, sizes)
+                if which == "cascade":
+                    return lg
+                return h._train_rescore(roi_feats, sampled, gb, gm, gt)
+
+            return jax.jit(fn)
+
+        timed("head: cls branch", head_slice("cls"),
+              params, feats, props, pmask, gt)
+        timed("head: cls+grid cascade", head_slice("cascade"),
+              params, feats, props, pmask, gt)
+        timed("head: cls+cascade+rescore", head_slice("rescore"),
+              params, feats, props, pmask, gt)
+
+    if want in ("headgrad",):
+        feats, props, pmask = None, None, None
+
+        def grad_slice(which):
+            def fn(p, images, sizes, gt):
+                def loss(p):
+                    m = bound(p)
+                    c = m.cfg
+                    from cpm_tpu.modeling.rpn import select_proposals
+
+                    fs = m._features(images)
+                    objectness, box_reg = m.rpn_head(fs)
+                    layout = m._anchor_layout(fs)
+                    pr, _, pm = select_proposals(
+                        layout,
+                        [jax.lax.stop_gradient(o) for o in objectness],
+                        [jax.lax.stop_gradient(b) for b in box_reg],
+                        sizes,
+                        gt_boxes=gt["boxes"], gt_mask=gt["mask"],
+                        pre_nms_top_n=c.RPN.PRE_NMS_TOP_N_TRAIN,
+                        post_nms_top_n=c.RPN.POST_NMS_TOP_N_TRAIN,
+                        nms_thresh=c.RPN.NMS_THRESH,
+                        min_size=c.RPN.MIN_SIZE,
+                        fpn_post_nms_top_n=c.RPN.FPN_POST_NMS_TOP_N_TRAIN,
+                        fpn_post_nms_per_batch=c.RPN.FPN_POST_NMS_PER_BATCH,
+                        is_train=True,
+                        box_coder=m.rpn_box_coder,
+                    )
+                    h = m.roi_head
+                    n_lvl = c.FPN.ROI_MAX_LEVEL - c.FPN.ROI_MIN_LEVEL + 1
+                    roi_feats = [f for f in fs[:n_lvl]]
+                    if which == "backbone":
+                        return sum(jnp.sum(f) for f in fs)
+                    sampled, lc = h._train_cls(roi_feats, pr, pm, gt)
+                    if which == "cls":
+                        return sum(lc.values())
+                    gb, gm, lg = h._train_cascade(fs, sampled, gt, sizes)
+                    if which == "cascade":
+                        return sum(lc.values()) + sum(lg.values())
+                    lr_ = h._train_rescore(roi_feats, sampled, gb, gm, gt)
+                    return (
+                        sum(lc.values()) + sum(lg.values())
+                        + sum(lr_.values())
+                    )
+
+                g = jax.grad(loss)(p)
+                return jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)),
+                    g, 0.0,
+                )
+
+            return jax.jit(fn)
+
+        for which in ("backbone", "cls", "cascade", "rescore"):
+            timed(f"grad: {which}", grad_slice(which),
+                  params, images, sizes, gt, iters=2)
 
     if want in ("all", "step"):
         train_step = jax.jit(make_train_step(cfg, model, tx))
