@@ -91,6 +91,17 @@ class TrainLoader:
         }
         self.aspect = dataset.aspect_ratios()
         self.prefetch = prefetch
+        # native pthread decode pool: N workers decode/resize/normalize a
+        # whole batch concurrently (the reference's DataLoader worker
+        # processes, SURVEY §2.6); falls back to per-image PIL on error
+        self.pool = None
+        nat = _native()
+        if nat is not None:
+            n_workers = max(1, int(getattr(cfg.DATALOADER, "NUM_WORKERS", 4)))
+            try:
+                self.pool = nat.ImagePool(n_workers)
+            except Exception:
+                self.pool = None
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         """DistributedSampler semantics: seeded shuffle, pad, rank slice."""
@@ -151,11 +162,65 @@ class TrainLoader:
         img, boxes, size = self.transform(img, boxes, rng)
         return img, boxes, labels, size
 
+    def _load_batch_pooled(self, batch_indices, rng: np.random.RandomState):
+        """Decode the whole batch through the native worker pool.
+
+        Returns a list of (img, boxes, labels, size) in batch order, or
+        None to fall back to the sequential path."""
+        plan = []
+        for i in batch_indices:
+            info = self.dataset.get_img_info(i)
+            oh, ow = info["height"], info["width"]
+            shortest = self.transform.scales[
+                rng.randint(len(self.transform.scales))
+            ]
+            nh, nw = get_resize_size(
+                (oh, ow), shortest, self.transform.max_size
+            )
+            flip = rng.rand() < self.transform.flip_prob
+            plan.append((i, (oh, ow), (nh, nw), flip))
+        max_h = max(p[2][0] for p in plan)
+        max_w = max(p[2][1] for p in plan)
+        try:
+            for t, (i, _, (nh, nw), _) in enumerate(plan):
+                self.pool.submit(
+                    t, self.dataset.image_path(i), (nh, nw), (max_h, max_w),
+                    self.transform.pixel_means, self.transform.pixel_stds,
+                    self.transform.to_bgr255,
+                )
+            decoded = [None] * len(plan)
+            for _ in plan:
+                t, img, _ = self.pool.wait_any((max_h, max_w))
+                decoded[t] = img
+        except RuntimeError:
+            return None  # a worker failed (e.g. undecodable file)
+        out = []
+        for (i, (oh, ow), (nh, nw), flip), img in zip(plan, decoded):
+            img = img[:nh, :nw]
+            boxes, labels = self.dataset.load_annotations(i)
+            b = boxes.copy()
+            b[:, 0::2] *= nw / ow
+            b[:, 1::2] *= nh / oh
+            if flip:
+                img = np.ascontiguousarray(img[:, ::-1])
+                fb = b.copy()
+                fb[:, 0] = nw - b[:, 2] - 1
+                fb[:, 2] = nw - b[:, 0] - 1
+                b = fb
+            out.append((img, b, labels, (nh, nw)))
+        return out
+
     def _make_batch(self, batch_indices, rng: np.random.RandomState):
         images, sizes, all_boxes, all_labels = [], [], [], []
         landscape_votes = 0
-        for i in batch_indices:
-            img, boxes, labels, size = self._load_one(i, rng)
+        loaded = (
+            self._load_batch_pooled(batch_indices, rng)
+            if self.pool is not None
+            else None
+        )
+        if loaded is None:
+            loaded = [self._load_one(i, rng) for i in batch_indices]
+        for img, boxes, labels, size in loaded:
             images.append(img)
             sizes.append(size)
             all_boxes.append(boxes)

@@ -261,6 +261,18 @@ def run_inference_on_dataset(
     return results
 
 
+def shard_ranges(n_images: int, n_shards: int) -> List[tuple]:
+    """Split [0, n_images) into n_shards contiguous ranges
+    (multi_gpu_test_net_on_dataset, test_engine.py:60-100)."""
+    n_shards = max(1, min(n_shards, n_images)) if n_images else 1
+    per = (n_images + n_shards - 1) // n_shards
+    return [
+        (i * per, min((i + 1) * per, n_images))
+        for i in range(n_shards)
+        if i * per < n_images
+    ]
+
+
 def evaluate_results(cfg, dataset, results, output_dir: Optional[str] = None):
     """COCO-evaluate and optionally persist bbox.json (evaluation.py:95-106)."""
     from cpm_tpu.evaluation.coco_eval import COCOEvaluator

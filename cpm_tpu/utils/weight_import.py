@@ -67,41 +67,9 @@ def import_resnet_backbone(
     bn_eps: float = 1e-5,
 ) -> Dict:
     """Returns the flax param subtree for ResNetBody (NHWC, frozen-BN)."""
-    sd = load_torch_state_dict(path)
-    out: Dict = {}
-
-    conv1 = conv_to_hwio(sd["conv1.weight"])
-    if conv1_rgb2bgr:
-        conv1 = conv1[:, :, ::-1, :]
-    out["conv1"] = {"kernel": conv1}
-    s, b = fold_bn(sd, "bn1", bn_eps)
-    out["AffineChannel_0"] = {"scale": s, "bias": b}
-
-    for li, n_blocks in enumerate(layers):
-        for bi in range(n_blocks):
-            t_pref = f"layer{li + 1}.{bi}"
-            j_name = f"layer{li + 1}_{bi}"
-            blk: Dict = {}
-            # creation order inside Bottleneck: conv1/bn1, conv2/bn2,
-            # conv3/bn3, then downsample conv/bn -> AffineChannel_0..3
-            for ci in (1, 2, 3):
-                if f"{t_pref}.conv{ci}.weight" not in sd:
-                    continue
-                blk[f"conv{ci}"] = {
-                    "kernel": conv_to_hwio(sd[f"{t_pref}.conv{ci}.weight"])
-                }
-                s, b = fold_bn(sd, f"{t_pref}.bn{ci}", bn_eps)
-                blk[f"AffineChannel_{ci - 1}"] = {"scale": s, "bias": b}
-            if f"{t_pref}.downsample.0.weight" in sd:
-                blk["downsample_conv"] = {
-                    "kernel": conv_to_hwio(
-                        sd[f"{t_pref}.downsample.0.weight"]
-                    )
-                }
-                s, b = fold_bn(sd, f"{t_pref}.downsample.1", bn_eps)
-                blk["AffineChannel_3"] = {"scale": s, "bias": b}
-            out[j_name] = blk
-    return out
+    return import_resnet_backbone_sd(
+        load_torch_state_dict(path), layers, conv1_rgb2bgr, bn_eps
+    )
 
 
 def merge_backbone_into_params(params: Dict, backbone: Dict) -> Dict:
@@ -129,3 +97,208 @@ def merge_backbone_into_params(params: Dict, backbone: Dict) -> Dict:
     new_params = dict(params)
     new_params["backbone"] = merge(params["backbone"], backbone, "backbone")
     return new_params
+
+
+# ---------------------------------------------------------------------------
+# FPN / RPN / CPM head importers (full-model checkpoints)
+#
+# Reference module attribute names (what a CPM checkpoint's keys look like):
+#   Generalized_RCNN: Conv_Body.* / Conv_Body_FPN.* / RPN.head.* /
+#   Grid_Cascade_RCNN.{Head_cls, Output_cls, Head_grid_<s>, Output_grid_<s>,
+#   Head_rescore, Output_rescore}  (model_builder.py:32-57,
+#   grid_cascade_rcnn.py:24-48, rpn/rpn.py:26-66).
+# ---------------------------------------------------------------------------
+
+
+def _conv(sd, name):
+    out = {"kernel": conv_to_hwio(sd[f"{name}.weight"])}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _fc(sd, name):
+    """torch Linear [out, in] -> flax Dense kernel [in, out]."""
+    out = {"kernel": np.transpose(sd[f"{name}.weight"], (1, 0))}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def _gn(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def deconv_to_grouped_kernel(w: np.ndarray, groups: int) -> np.ndarray:
+    """torch ConvTranspose2d weight [Cin, Cout/g, kH, kW] -> the kernel
+    layout of cpm_tpu grouped_deconv: [kH, kW, Cin/g, Cout] (UNflipped —
+    grouped_deconv flips spatially itself).
+
+    Output channel o (global) of group go=o//(Cout/g) contracts input
+    channels [go*Cin/g, (go+1)*Cin/g); torch stores them as
+    w[go*Cin/g + ci, o % (Cout/g)].
+    """
+    cin, cout_g, kh, kw = w.shape
+    cout = cout_g * groups
+    cin_g = cin // groups
+    out = np.zeros((kh, kw, cin_g, cout), w.dtype)
+    for o in range(cout):
+        go, oc = divmod(o, cout_g)
+        for ci in range(cin_g):
+            out[:, :, ci, o] = w[go * cin_g + ci, oc]
+    return out
+
+
+def import_fpn(sd, prefix: str = "") -> Dict:
+    """fpn (FPN.py:14-111): p5_in/p5_out + fpn_in.{i}/fpn_out.{i}."""
+    out = {
+        "p5_in": _conv(sd, f"{prefix}p5_in"),
+        "p5_out": _conv(sd, f"{prefix}p5_out"),
+    }
+    i = 0
+    while f"{prefix}fpn_in.{i}.weight" in sd:
+        out[f"fpn_in_{i}"] = _conv(sd, f"{prefix}fpn_in.{i}")
+        out[f"fpn_out_{i}"] = _conv(sd, f"{prefix}fpn_out.{i}")
+        i += 1
+    return out
+
+
+def import_rpn_head(sd, prefix: str = "RPN.head.") -> Dict:
+    """RPNHead (rpn/rpn.py:26-28)."""
+    return {
+        "conv": _conv(sd, f"{prefix}conv"),
+        "cls_logits": _conv(sd, f"{prefix}cls_logits"),
+        "bbox_pred": _conv(sd, f"{prefix}bbox_pred"),
+    }
+
+
+def import_cls_head(sd, prefix: str) -> Dict:
+    """roi_cls_head 2-MLP (cls_heads.py:34-35)."""
+    return {"fc6": _fc(sd, f"{prefix}fc6"), "fc7": _fc(sd, f"{prefix}fc7")}
+
+
+def import_cls_output(sd, prefix: str) -> Dict:
+    return {"cls_score": _fc(sd, f"{prefix}cls_score")}
+
+
+def import_grid_head(sd, prefix: str) -> Dict:
+    """roi_grid_head (grid_heads.py:39-66): conv tower convs.{i}.{0,1} and
+    (FUSED_ON) forder/sorder transitions {i}.{j}.{0:dw,1:pw}."""
+    out: Dict = {}
+    i = 0
+    while f"{prefix}convs.{i}.0.weight" in sd:
+        out[f"conv{i}"] = _conv(sd, f"{prefix}convs.{i}.0")
+        out[f"gn{i}"] = _gn(sd, f"{prefix}convs.{i}.1")
+        i += 1
+    for order in ("forder", "sorder"):
+        i = 0
+        while f"{prefix}{order}_trans.{i}.0.0.weight" in sd:
+            j = 0
+            while f"{prefix}{order}_trans.{i}.{j}.0.weight" in sd:
+                out[f"{order}_{i}_{j}"] = {
+                    "dw": _conv(sd, f"{prefix}{order}_trans.{i}.{j}.0"),
+                    "pw": _conv(sd, f"{prefix}{order}_trans.{i}.{j}.1"),
+                }
+                j += 1
+            i += 1
+    if f"{prefix}offset_conv.weight" in sd:
+        out["offset_conv"] = _conv(sd, f"{prefix}offset_conv")
+        out["offset_fc"] = _fc(sd, f"{prefix}offset_fc")
+    return out
+
+
+def import_grid_output(sd, prefix: str, grid_points: int = 9) -> Dict:
+    """Grid_output (outputs.py:23-45): grouped deconvs + GN + ISM FCs."""
+    out: Dict = {
+        "deconv1_kernel": deconv_to_grouped_kernel(
+            sd[f"{prefix}deconv_1.weight"], grid_points
+        ),
+        "deconv1_bias": sd[f"{prefix}deconv_1.bias"],
+        "deconv2_kernel": deconv_to_grouped_kernel(
+            sd[f"{prefix}deconv_2.weight"], grid_points
+        ),
+        "deconv2_bias": sd[f"{prefix}deconv_2.bias"],
+        "norm1": _gn(sd, f"{prefix}norm1"),
+    }
+    if f"{prefix}iou_fc1.weight" in sd:
+        out["iou_fc1"] = _fc(sd, f"{prefix}iou_fc1")
+        out["iou_fc2"] = _fc(sd, f"{prefix}iou_fc2")
+        out["iou_pred"] = _fc(sd, f"{prefix}iou_pred")
+    return out
+
+
+def import_cpm_checkpoint(path_or_sd, cfg) -> Dict:
+    """Full reference CPM checkpoint -> flax param tree for
+    GeneralizedRCNN (backbone, fpn, rpn_head, roi_head.*)."""
+    sd = (
+        load_torch_state_dict(path_or_sd)
+        if isinstance(path_or_sd, str)
+        else path_or_sd
+    )
+    bb_sd = {
+        k[len("Conv_Body."):]: v
+        for k, v in sd.items()
+        if k.startswith("Conv_Body.")
+    }
+    params: Dict = {
+        "backbone": import_resnet_backbone_sd(
+            bb_sd,
+            layers=tuple(cfg.BACKBONE.RESNET.LAYERS),
+            conv1_rgb2bgr=cfg.MODEL.CONV1_RGB2BGR,
+        ),
+        "fpn": import_fpn(sd, "Conv_Body_FPN."),
+        "rpn_head": import_rpn_head(sd, "RPN.head."),
+    }
+    g = "Grid_Cascade_RCNN."
+    head: Dict = {
+        "cls_head": import_cls_head(sd, f"{g}Head_cls."),
+        "cls_output": import_cls_output(sd, f"{g}Output_cls."),
+    }
+    s = 0
+    while f"{g}Head_grid_{s}.convs.0.0.weight" in sd:
+        head[f"grid_head_{s}"] = import_grid_head(sd, f"{g}Head_grid_{s}.")
+        head[f"grid_output_{s}"] = import_grid_output(
+            sd, f"{g}Output_grid_{s}."
+        )
+        s += 1
+    if f"{g}Head_rescore.fc6.weight" in sd:
+        head["rescore_head"] = import_cls_head(sd, f"{g}Head_rescore.")
+        head["rescore_output"] = import_cls_output(sd, f"{g}Output_rescore.")
+    params["roi_head"] = head
+    return params
+
+
+def import_resnet_backbone_sd(
+    sd: Dict[str, np.ndarray],
+    layers=(3, 4, 6, 3),
+    conv1_rgb2bgr: bool = False,
+    bn_eps: float = 1e-5,
+) -> Dict:
+    """import_resnet_backbone on an in-memory state dict."""
+    out: Dict = {}
+    conv1 = conv_to_hwio(sd["conv1.weight"])
+    if conv1_rgb2bgr:
+        conv1 = conv1[:, :, ::-1, :]
+    out["conv1"] = {"kernel": conv1}
+    s, b = fold_bn(sd, "bn1", bn_eps)
+    out["AffineChannel_0"] = {"scale": s, "bias": b}
+    for li, n_blocks in enumerate(layers):
+        for bi in range(n_blocks):
+            t_pref = f"layer{li + 1}.{bi}"
+            blk: Dict = {}
+            for ci in (1, 2, 3):
+                if f"{t_pref}.conv{ci}.weight" not in sd:
+                    continue
+                blk[f"conv{ci}"] = {
+                    "kernel": conv_to_hwio(sd[f"{t_pref}.conv{ci}.weight"])
+                }
+                s, b = fold_bn(sd, f"{t_pref}.bn{ci}", bn_eps)
+                blk[f"AffineChannel_{ci - 1}"] = {"scale": s, "bias": b}
+            if f"{t_pref}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = {
+                    "kernel": conv_to_hwio(sd[f"{t_pref}.downsample.0.weight"])
+                }
+                s, b = fold_bn(sd, f"{t_pref}.downsample.1", bn_eps)
+                blk["AffineChannel_3"] = {"scale": s, "bias": b}
+            out[f"layer{li + 1}_{bi}"] = blk
+    return out

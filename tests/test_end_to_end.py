@@ -154,3 +154,35 @@ def test_test_loader_shapes(tiny_cfg, tmp_path):
         assert item["images"].shape[0] == 1
         h, w = item["images"].shape[1:3]
         assert h % 32 == 0 and w % 32 == 0
+
+
+def test_sharded_inference_equals_unsharded(tiny_cfg, tmp_path):
+    """Range-sharded eval (the parent/child orchestration of
+    tools/test_net.py --shards, replacing pet/utils/subprocess.py:12-95)
+    must merge to exactly the unsharded results."""
+    from cpm_tpu.engine.test import shard_ranges
+
+    cfg = tiny_cfg
+    img_dir, ann_file = _make_coco_dir(tmp_path, n_images=6)
+    dataset = COCODataset(ann_file, img_dir)
+    loader = TrainLoader(cfg, dataset, batch_size=2, prefetch=0)
+    batch = next(iter(loader))
+    model, _, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+
+    full = run_inference_on_dataset(
+        cfg, model, state.params, dataset, progress_every=0
+    )
+    ranges = shard_ranges(len(dataset), 3)
+    assert ranges == [(0, 2), (2, 4), (4, 6)]
+    merged = []
+    for s, e in ranges:
+        merged.extend(
+            run_inference_on_dataset(
+                cfg, model, state.params, dataset, start=s, end=e,
+                progress_every=0,
+            )
+        )
+    assert merged == full
+    # degenerate shard counts
+    assert shard_ranges(6, 1) == [(0, 6)]
+    assert shard_ranges(2, 5) == [(0, 1), (1, 2)]

@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--height", type=int, default=832)
     ap.add_argument("--width", type=int, default=1344)
     ap.add_argument("--part", default="all")
+    ap.add_argument("--dtype", default=None, help="override TPU.COMPUTE_DTYPE")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +57,9 @@ def main():
 
     cfg = _flagship_cfg(tiny=False)
     cfg.RPN.PRE_NMS_TOP_N_TRAIN = 2000
+    if args.dtype:
+        cfg.TPU.COMPUTE_DTYPE = args.dtype
+    print("compute dtype:", cfg.TPU.COMPUTE_DTYPE)
 
     batch = synthetic_batch(
         batch_size=args.batch, height=args.height, width=args.width,
@@ -240,6 +244,32 @@ def main():
         for which in ("backbone", "cls", "cascade", "rescore"):
             timed(f"grad: {which}", grad_slice(which),
                   params, images, sizes, gt, iters=2)
+
+    if want in ("rpngrad",):
+        from cpm_tpu.modeling.rpn import rpn_losses
+
+        def fn(p, images, sizes, gt):
+            def loss(p):
+                m = bound(p)
+                c = m.cfg
+                fs = m._features(images)
+                objectness, box_reg = m.rpn_head(fs)
+                layout = m._anchor_layout(fs)
+                lo, lb = rpn_losses(
+                    layout, objectness, box_reg, sizes,
+                    gt["boxes"], gt["mask"], jax.random.PRNGKey(3),
+                    box_coder=m.rpn_box_coder,
+                )
+                return lo + lb
+
+            g = jax.grad(loss)(p)
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)),
+                g, 0.0,
+            )
+
+        timed("grad: rpn losses", jax.jit(fn), params, images, sizes, gt,
+              iters=2)
 
     if want in ("all", "step"):
         train_step = jax.jit(make_train_step(cfg, model, tx))

@@ -23,8 +23,50 @@ def parse_args():
     p = argparse.ArgumentParser(description="CPM R-CNN TPU evaluation")
     p.add_argument("--cfg", dest="cfg_file", required=True)
     p.add_argument("--range", dest="range", nargs=2, type=int, default=None)
+    p.add_argument(
+        "--shards", type=int, default=0,
+        help="parent mode: split the image range over N child processes "
+        "(the reference's subprocess-per-GPU eval sharding, "
+        "pet/utils/subprocess.py:12-95), merge their results, evaluate",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
+
+
+def run_sharded(args, cfg, dataset):
+    """Parent orchestration (test_engine.py:60-100 + subprocess.py:12-95):
+    spawn one child per shard with --range, wait, merge, evaluate."""
+    import subprocess
+
+    from cpm_tpu.engine.test import evaluate_results, shard_ranges
+
+    out_dir = os.path.join(cfg.CKPT, "test")
+    os.makedirs(out_dir, exist_ok=True)
+    ranges = shard_ranges(len(dataset), args.shards)
+    procs = []
+    for i, (s, e) in enumerate(ranges):
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--cfg", args.cfg_file, "--range", str(s), str(e),
+        ] + (args.opts or [])
+        env = dict(os.environ)
+        env["CPM_SHARD_INDEX"] = str(i)
+        log_path = os.path.join(out_dir, f"shard_{s}_{e}.log")
+        log = open(log_path, "w")
+        procs.append(
+            (s, e, subprocess.Popen(cmd, env=env, stdout=log, stderr=log), log)
+        )
+        print(f"spawned shard {i}: images [{s}, {e}) -> {log_path}")
+    results = []
+    for s, e, proc, log in procs:
+        ret = proc.wait()
+        log.close()
+        assert ret == 0, f"shard [{s}, {e}) failed with rc={ret}"
+        shard_file = os.path.join(out_dir, f"detection_range_{s}_{e}.json")
+        with open(shard_file) as f:
+            results.extend(json.load(f))
+    stats = evaluate_results(cfg, dataset, results, output_dir=out_dir)
+    print(json.dumps(stats, indent=2))
 
 
 def main():
@@ -51,6 +93,11 @@ def main():
 
     datasets = build_dataset(cfg, cfg.TEST.DATASETS, is_train=False)
     dataset = datasets[0]
+
+    if args.shards and args.shards > 1:
+        assert args.range is None, "--shards is a parent mode; no --range"
+        run_sharded(args, cfg, dataset)
+        return
 
     # initialize params and restore checkpoint
     sample = synthetic_batch(
