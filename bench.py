@@ -18,6 +18,8 @@ import json
 import os
 import time
 
+import numpy as np
+
 BASELINE_TRAIN_IPS_PER_CHIP = 1.75  # see module docstring
 
 # bf16 peak per chip by device kind (fallback: v5e)
@@ -27,6 +29,56 @@ PEAK_FLOPS = {
     "TPU v4": 275e12,
     "TPU v6 lite": 918e12,
 }
+
+
+def measure_loader_throughput(cfg, n_images: int = 48):
+    """Host data-path img/s: JPEG decode+resize+normalize+batch at the
+    train resolution through TrainLoader (native ImagePool when built)."""
+    import tempfile
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+
+        from cpm_tpu.data.coco import COCODataset
+        from cpm_tpu.data.loader import TrainLoader
+    except Exception:
+        return None
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as td:
+        img_dir = os.path.join(td, "images")
+        os.makedirs(img_dir)
+        images, annotations = [], []
+        for i in range(12):
+            h, w = 800, 1216
+            arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(img_dir, f"{i:06d}.jpg"), quality=90
+            )
+            images.append(dict(id=i + 1, file_name=f"{i:06d}.jpg",
+                               width=w, height=h))
+            annotations.append(dict(
+                id=i + 1, image_id=i + 1, category_id=1,
+                bbox=[10.0, 10.0, 100.0, 100.0], area=10000.0, iscrowd=0,
+            ))
+        ann = os.path.join(td, "ann.json")
+        with open(ann, "w") as f:
+            json.dump(dict(
+                images=images, annotations=annotations,
+                categories=[dict(id=1, name="c1")],
+            ), f)
+        ds = COCODataset(ann, img_dir)
+        # prefetch=0: measure the decode path itself; a prefetch thread
+        # would outlive the tempdir and read deleted files
+        loader = TrainLoader(cfg, ds, batch_size=4, prefetch=0)
+        it = iter(loader)
+        next(it)  # warm the pool / caches
+        t0 = time.time()
+        done = 0
+        while done < n_images:
+            done += next(it)["images"].shape[0]
+        return done / (time.time() - t0)
 
 
 def main():
@@ -63,21 +115,45 @@ def main():
     mesh = make_mesh(n_dev)
     model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     step_fn = jit_train_step(make_train_step(cfg, model, tx), mesh)
-    steps, warmup = 8, 2
+    steps, warmup = 8, 3
     with mesh:
         sharded = shard_batch(batch, mesh)
         for _ in range(warmup):
             state, metrics = step_fn(state, sharded)
-        jax.block_until_ready(metrics)
+            # readout barrier: block_until_ready alone returns before the
+            # enqueued chain executes on tunneled PJRT backends, so without
+            # this the warmup's work lands inside the first timed step
+            float(metrics["total_loss"])
         if trace_dir:
             jax.profiler.start_trace(trace_dir)
+        # force a host readout every step: on tunneled PJRT backends
+        # block_until_ready returns before the enqueued chain has actually
+        # executed (under-measuring 10x+); reading the loss value is the
+        # only reliable completion barrier
+        cache_after_warmup = step_fn._cache_size()
         t0 = time.time()
+        loss_trace = []
+        step_times = []
         for _ in range(steps):
+            t1 = time.time()
             state, metrics = step_fn(state, sharded)
-        jax.block_until_ready(metrics)
+            loss_trace.append(float(metrics["total_loss"]))
+            step_times.append(time.time() - t1)
         train_dt = time.time() - t0
         if trace_dir:
             jax.profiler.stop_trace()
+        assert all(np.isfinite(l) for l in loss_trace), loss_trace
+        if step_fn._cache_size() != cache_after_warmup:
+            print(
+                f"# WARNING: train step retraced during timing "
+                f"({cache_after_warmup} -> {step_fn._cache_size()} entries); "
+                f"per-step times: {[round(t, 2) for t in step_times]}",
+                flush=True,
+            )
+        print(
+            f"# per-step seconds: {[round(t, 3) for t in step_times]}",
+            flush=True,
+        )
     train_ips = batch_size * steps / train_dt
 
     # MFU from XLA's cost analysis of the compiled step
@@ -102,25 +178,29 @@ def main():
     cdtype = compute_dtype(cfg)
     eval_params = cast_floating_to(state.params, cdtype)
 
+    # params as an ARGUMENT, not a closure: closed-over arrays become HLO
+    # constants — 100MB of literals per compile (and a rejected
+    # remote-compile request on tunneled PJRT backends)
     @jax.jit
-    def forward(images, image_sizes):
+    def forward(p, images, image_sizes):
         return model.apply(
-            {"params": eval_params}, images.astype(cdtype), image_sizes,
-            train=False,
+            {"params": p}, images.astype(cdtype), image_sizes, train=False
         )
 
     ebatch = synthetic_batch(
         batch_size=1, height=height, width=width, max_gt=8,
         num_classes=81, seed=1,
     )
-    dets = forward(ebatch["images"], ebatch["image_sizes"])
-    jax.block_until_ready(dets)
+    dets = forward(eval_params, ebatch["images"], ebatch["image_sizes"])
+    float(dets.scores.sum())
     t0 = time.time()
     infer_steps = 16
     for _ in range(infer_steps):
-        dets = forward(ebatch["images"], ebatch["image_sizes"])
-    jax.block_until_ready(dets)
+        dets = forward(eval_params, ebatch["images"], ebatch["image_sizes"])
+        float(dets.scores.sum())  # readout = reliable completion barrier
     infer_ips = infer_steps / (time.time() - t0) / n_dev
+
+    loader_ips = measure_loader_throughput(cfg)
 
     per_chip = train_ips / n_dev
     print(
@@ -133,6 +213,9 @@ def main():
                 infer_images_per_sec_per_chip=round(infer_ips, 3),
                 step_ms=round(train_dt / steps * 1e3, 1),
                 mfu=round(mfu, 4) if mfu is not None else None,
+                host_loader_images_per_sec=(
+                    round(loader_ips, 2) if loader_ips else None
+                ),
                 compute_dtype=str(cfg.TPU.COMPUTE_DTYPE),
             )
         )

@@ -71,18 +71,25 @@ def detections_to_coco(
 
 def make_forward_fn(cfg, model, params):
     """Jitted eval forward, compiled per input shape bucket. Runs in
-    TPU.COMPUTE_DTYPE (bf16 on TPU) with f32 box arithmetic inside."""
+    TPU.COMPUTE_DTYPE (bf16 on TPU) with f32 box arithmetic inside.
+
+    Params are passed as a jit ARGUMENT (donating them to the closure
+    would bake ~100MB of literals into the HLO: slow compiles, and
+    tunneled PJRT backends reject the oversized compile request)."""
     from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
 
     cdtype = compute_dtype(cfg)
-    params = cast_floating_to(params, cdtype)
+    cast_params = jax.device_put(cast_floating_to(params, cdtype))
 
     @jax.jit
-    def forward(images, image_sizes):
+    def forward_impl(p, images, image_sizes):
         return model.apply(
-            {"params": params}, images.astype(cdtype), image_sizes,
+            {"params": p}, images.astype(cdtype), image_sizes,
             train=False,
         )
+
+    def forward(images, image_sizes):
+        return forward_impl(cast_params, images, image_sizes)
 
     return forward
 
@@ -219,10 +226,20 @@ def run_inference_on_dataset(
     c2j = dataset.contiguous_category_id_to_json_id
     tta = len(passes) > 1
     n_done = 0
-    for items in zip(*loaders):
+
+    def dispatch(items):
+        """Enqueue all passes' forwards (async jax dispatch) — the chip
+        works on this image while the host post-processes the previous
+        one (replaces the reference's synchronous per-image loop,
+        test_engine.py:137-169, with software pipelining)."""
+        return [
+            (forward(item["images"], item["image_sizes"]), item)
+            for item in items
+        ]
+
+    def collect(pending):
         per_pass: List[Dict[str, np.ndarray]] = []
-        for p, item in zip(passes, items):
-            dets = forward(item["images"], item["image_sizes"])
+        for p, (dets, item) in zip(passes, pending):
             dets_np = dict(
                 boxes=np.asarray(dets.boxes[0]),
                 scores=np.asarray(dets.scores[0]),
@@ -255,9 +272,19 @@ def run_inference_on_dataset(
                     dets_np, item["image_id"], item["scale_hw"], c2j
                 )
             )
+
+    pending = None
+    for items in zip(*loaders):
+        dispatched = dispatch(items)
+        if pending is not None:
+            collect(pending)
+            n_done += 1
+            if progress_every and n_done % progress_every == 0:
+                logger(f"inference: {n_done}/{len(loaders[0])} images")
+        pending = dispatched
+    if pending is not None:
+        collect(pending)
         n_done += 1
-        if progress_every and n_done % progress_every == 0:
-            logger(f"inference: {n_done}/{len(loaders[0])} images")
     return results
 
 

@@ -53,7 +53,14 @@ def create_train_state(cfg, rng, sample_batch):
         sample_batch["image_sizes"],
         batch_gt(sample_batch),
     )
-    params = variables["params"]
+    # strip weak types: a weak-typed leaf (e.g. from jnp.full with a python
+    # scalar in an initializer) becomes strong after `p + update`, changing
+    # the jit signature and silently retracing+recompiling the train step
+    # on its SECOND call — ~2.5 min per recompile for the full CPM program
+    params = jax.tree_util.tree_map(
+        lambda x: jax.lax.convert_element_type(x, x.dtype),
+        variables["params"],
+    )
     lr_fn = make_lr_fn(cfg.SOLVER)
     tx = build_optimizer(cfg, params, lr_fn)
     state = TrainState(

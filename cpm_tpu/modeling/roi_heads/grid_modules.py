@@ -207,11 +207,13 @@ class GridOutput(nn.Module):
         deconv2_k = self.param(
             "deconv2_kernel", nn.initializers.normal(0.001), (4, 4, c, P)
         )
-        # bias init -log(0.99/0.01) (grid_heads.py:129)
+        # bias init -log(0.99/0.01) (grid_heads.py:129); explicit dtype —
+        # a weak-typed param leaf changes aval after the first optimizer
+        # step and forces a full retrace+recompile of the train step
         deconv2_b = self.param(
             "deconv2_bias",
             lambda key, shape: jnp.full(
-                shape, -float(np.log(0.99 / 0.01))
+                shape, -float(np.log(0.99 / 0.01)), jnp.float32
             ),
             (P,),
         )

@@ -141,3 +141,47 @@ def test_single_stage_grid_rcnn(batch):
     assert "loss_rescore" not in losses
     dets = model.apply(variables, images, image_sizes, train=False)
     assert dets.boxes.shape == (2, 16, 4)
+
+
+def test_test_stage_below_stage_num_skips_ism(batch):
+    """TEST_STAGE < STAGE_NUM runs only the first TEST_STAGE grid decodes
+    and never applies ISM — matching the reference, where the loop breaks
+    after the post-processor of stage TEST_STAGE-1
+    (grid_cascade_rcnn.py:175-186) and ISM fires only in the stage
+    STAGE_NUM-1 post-processor (inference.py:172)."""
+    images, image_sizes, gt = batch
+    cfg3 = _cpm_cfg(stage_num=3, iou_helper=True, rescore=False)
+    model3 = build_model(cfg3)
+    variables = jax.jit(
+        lambda: model3.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            images, image_sizes, gt=gt, train=True,
+        )
+    )()
+
+    cfg2 = _cpm_cfg(stage_num=3, iou_helper=True, rescore=False)
+    cfg2.GRID_RCNN.CASCADE_MAPPING_OPTION.TEST_STAGE = 2
+    model2 = build_model(cfg2)  # same params, fewer test stages
+
+    dets3 = model3.apply(variables, images, image_sizes, train=False)
+    dets2 = model2.apply(variables, images, image_sizes, train=False)
+
+    # the cls branch alone (no grid refinement) gives the pre-ISM scores
+    cfg0 = _cpm_cfg(stage_num=3, iou_helper=True, rescore=False)
+    cfg0.GRID_RCNN.CASCADE_MAPPING_OPTION.TEST_STAGE = 0
+    dets0 = build_model(cfg0).apply(variables, images, image_sizes,
+                                    train=False)
+
+    # TEST_STAGE=2: boxes refined (differ from cls-stage boxes) but ISM
+    # never fires -> scores identical to the cls-stage scores
+    np.testing.assert_allclose(
+        np.asarray(dets2.scores), np.asarray(dets0.scores), rtol=1e-6
+    )
+    assert not np.allclose(
+        np.asarray(dets2.boxes)[np.asarray(dets2.mask)],
+        np.asarray(dets0.boxes)[np.asarray(dets0.mask)],
+    )
+    # TEST_STAGE=3 (== STAGE_NUM): ISM multiplies scores -> they change
+    assert not np.allclose(
+        np.asarray(dets3.scores), np.asarray(dets0.scores)
+    )

@@ -58,3 +58,21 @@ def test_cpm_train_step_8device_mesh():
     assert all(
         s.data.shape == leaf.shape for s in leaf.addressable_shards
     )
+
+
+def test_train_step_does_not_retrace():
+    """Feeding the output state back must hit the same compiled program —
+    a weak-typed param leaf once caused a silent retrace+recompile on the
+    second step (minutes per step at full size)."""
+    cfg = _tiny_cpm_cfg()
+    batch = synthetic_batch(
+        batch_size=1, height=64, width=64, max_gt=4,
+        num_classes=cfg.MODEL.NUM_CLASSES, seed=0,
+    )
+    model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(cfg, model, tx))
+    state, _ = step(state, batch)
+    assert step._cache_size() == 1
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)
+    assert step._cache_size() == 1, "train step retraced on state round-trip"

@@ -271,6 +271,50 @@ def main():
         timed("grad: rpn losses", jax.jit(fn), params, images, sizes, gt,
               iters=2)
 
+    if want in ("stepgrad", "stepopt"):
+        from cpm_tpu.engine.train import batch_gt as _bgt
+        from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
+
+        cdtype = compute_dtype(cfg)
+        rng2 = jax.random.PRNGKey(11)
+
+        def loss_fn(p, batch):
+            pc = cast_floating_to(p, cdtype)
+            losses = model.apply(
+                {"params": pc}, batch["images"].astype(cdtype),
+                batch["image_sizes"], gt=_bgt(batch), train=True,
+                rngs={"sample": rng2},
+            )
+            return sum(jax.tree_util.tree_leaves(losses))
+
+        def grad_only(p, batch):
+            _, g = jax.value_and_grad(loss_fn)(p, batch)
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)),
+                g, 0.0,
+            )
+
+        if want == "stepgrad":
+            timed("train-loss grad (no optimizer)", jax.jit(grad_only),
+                  params, batch, iters=2)
+        else:
+            from cpm_tpu.solver import build_optimizer, make_lr_fn
+
+            tx2 = build_optimizer(cfg, params, make_lr_fn(cfg.SOLVER))
+            opt_state = tx2.init(params)
+
+            def with_opt(p, os_, batch):
+                _, g = jax.value_and_grad(loss_fn)(p, batch)
+                updates, new_os = tx2.update(g, os_, p)
+                newp = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                return jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)),
+                    newp, 0.0,
+                ), new_os
+
+            timed("train-loss grad + optimizer", jax.jit(with_opt),
+                  params, opt_state, batch, iters=2)
+
     if want in ("all", "step"):
         train_step = jax.jit(make_train_step(cfg, model, tx))
         t0 = time.time()
