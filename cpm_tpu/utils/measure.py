@@ -34,3 +34,31 @@ def flops_of(fn: Callable, *args) -> float:
     if isinstance(cost, list):  # older jax returns [dict]
         cost = cost[0] if cost else {}
     return float(cost.get("flops", -1.0))
+
+
+def flops_and_params(cfg, model, images, image_sizes) -> Dict:
+    """FLOPs + params of the eval forward for a built model
+    (the capability of tools/rcnn/scripts/compute_fcos_flops.py, for every
+    model family)."""
+    variables = jax.eval_shape(
+        lambda: model.init(
+            {
+                "params": jax.random.PRNGKey(0),
+                "sample": jax.random.PRNGKey(1),
+            },
+            images, image_sizes, train=False,
+        )
+    )
+    params = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, a.dtype), variables["params"]
+    )
+
+    def fwd(p, im, sz):
+        return model.apply({"params": p}, im, sz, train=False)
+
+    return dict(
+        input_hw=[int(images.shape[1]), int(images.shape[2])],
+        params=count_params(params),
+        params_by_module=param_breakdown(params),
+        eval_forward_flops=flops_of(fwd, params, images, image_sizes),
+    )
