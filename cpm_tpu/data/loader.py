@@ -293,7 +293,9 @@ class TrainLoader:
 
 
 class TestLoader:
-    """Single-image eval batches (TEST.IMS_PER_GPU is 1 in the reference)."""
+    """Eval batches of TEST.IMS_PER_GPU images (reference default 1;
+    batching >1 groups same-orientation images into one padded bucket for
+    throughput — the model's test path is fully batched)."""
 
     def __init__(
         self,
@@ -305,6 +307,7 @@ class TestLoader:
         scale: Optional[int] = None,
         max_size: Optional[int] = None,
         hflip: bool = False,
+        batch_size: Optional[int] = None,
     ):
         self.cfg = cfg
         self.dataset = dataset
@@ -318,6 +321,11 @@ class TestLoader:
         long = _round_up(max_v, self.divisibility)
         self.buckets = {"landscape": (short, long), "portrait": (long, short)}
         self.hflip = hflip
+        self.batch_size = (
+            int(batch_size)
+            if batch_size is not None
+            else max(1, int(getattr(cfg.TEST, "IMS_PER_GPU", 1)))
+        )
 
     def __len__(self):
         return self.end - self.start
@@ -351,32 +359,67 @@ class TestLoader:
             img = flipped
         return img, (nh, nw), (oh, ow)
 
-    def __iter__(self):
-        for i in range(self.start, self.end):
-            native_out = self._load_native(i)
-            if native_out is not None:
-                img, (nh, nw), (orig_h, orig_w) = native_out
-                out = img[None]
-                scale_hw = (nh / orig_h, nw / orig_w)
-            else:
-                img = self.dataset.load_image(i)
-                if self.hflip:
-                    img = np.ascontiguousarray(img[:, ::-1])
-                orig_h, orig_w = img.shape[:2]
-                norm, (nh, nw), scale_hw = self.transform(img)
-                bucket = (
-                    self.buckets["landscape"]
-                    if nw >= nh
-                    else self.buckets["portrait"]
-                )
-                bh, bw = bucket
-                out = np.zeros((1, bh, bw, 3), np.float32)
-                out[0, :nh, :nw] = norm[:bh, :bw]
-            yield dict(
-                index=i,
-                image_id=self.dataset.id_to_img_map[i],
-                images=out,
-                image_sizes=np.array([[nh, nw]], np.int32),
-                orig_size=(orig_h, orig_w),
-                scale_hw=scale_hw,
+    def _load_one_test(self, i: int):
+        """(padded img [bh, bw, 3], (nh, nw), meta dict, bucket key)"""
+        native_out = self._load_native(i)
+        if native_out is not None:
+            img, (nh, nw), (orig_h, orig_w) = native_out
+            scale_hw = (nh / orig_h, nw / orig_w)
+        else:
+            raw = self.dataset.load_image(i)
+            if self.hflip:
+                raw = np.ascontiguousarray(raw[:, ::-1])
+            orig_h, orig_w = raw.shape[:2]
+            norm, (nh, nw), scale_hw = self.transform(raw)
+            bucket = (
+                self.buckets["landscape"]
+                if nw >= nh
+                else self.buckets["portrait"]
             )
+            bh, bw = bucket
+            img = np.zeros((bh, bw, 3), np.float32)
+            img[:nh, :nw] = norm[:bh, :bw]
+        key = "landscape" if nw >= nh else "portrait"
+        meta = dict(
+            index=i,
+            image_id=self.dataset.id_to_img_map[i],
+            orig_size=(orig_h, orig_w),
+            scale_hw=scale_hw,
+        )
+        return img, (nh, nw), meta, key
+
+    def _emit(self, buf):
+        """buf: list of (img, (nh, nw), meta). Pads partial batches by
+        repeating the last image; `count` marks the real images."""
+        count = len(buf)
+        while len(buf) < self.batch_size:
+            buf.append(buf[-1])
+        images = np.stack([b[0] for b in buf])
+        sizes = np.array([b[1] for b in buf], np.int32)
+        out = dict(
+            images=images,
+            image_sizes=sizes,
+            meta=[b[2] for b in buf[:count]],
+            count=count,
+        )
+        if self.batch_size == 1:
+            out.update(buf[0][2])  # per-image compat keys
+        return out
+
+    def __iter__(self):
+        # per-orientation buffers: all TTA passes of one image share its
+        # aspect ratio, so parallel TestLoaders group identically and
+        # zip(*loaders) stays aligned across passes
+        buffers = {"landscape": [], "portrait": []}
+        order = []  # flush order so iteration stays deterministic
+        for i in range(self.start, self.end):
+            img, size, meta, key = self._load_one_test(i)
+            buffers[key].append((img, size, meta))
+            if len(buffers[key]) == self.batch_size:
+                yield self._emit(buffers[key])
+                buffers[key] = []
+            if key not in order:
+                order.append(key)
+        for key in order:
+            if buffers[key]:
+                yield self._emit(buffers[key])

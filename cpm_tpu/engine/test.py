@@ -238,53 +238,56 @@ def run_inference_on_dataset(
         ]
 
     def collect(pending):
-        per_pass: List[Dict[str, np.ndarray]] = []
-        for p, (dets, item) in zip(passes, pending):
-            dets_np = dict(
-                boxes=np.asarray(dets.boxes[0]),
-                scores=np.asarray(dets.scores[0]),
-                labels=np.asarray(dets.labels[0]),
-                mask=np.asarray(dets.mask[0]),
-            )
-            if p["hflip"]:
-                dets_np = _unflip_dets(
-                    dets_np, int(item["image_sizes"][0, 1])
+        count = pending[0][1]["count"]
+        for j in range(count):
+            per_pass: List[Dict[str, np.ndarray]] = []
+            for p, (dets, item) in zip(passes, pending):
+                meta = item["meta"][j]
+                dets_np = dict(
+                    boxes=np.asarray(dets.boxes[j]),
+                    scores=np.asarray(dets.scores[j]),
+                    labels=np.asarray(dets.labels[j]),
+                    mask=np.asarray(dets.mask[j]),
                 )
+                if p["hflip"]:
+                    dets_np = _unflip_dets(
+                        dets_np, int(item["image_sizes"][j, 1])
+                    )
+                if tta:
+                    # map to original image coords: all passes share a frame
+                    sh, sw = meta["scale_hw"]
+                    b = dets_np["boxes"].copy()
+                    b[:, 0::2] /= sw
+                    b[:, 1::2] /= sh
+                    dets_np["boxes"] = b
+                per_pass.append((dets_np, meta))
             if tta:
-                # map to original image coords so all passes share a frame
-                sh, sw = item["scale_hw"]
-                b = dets_np["boxes"].copy()
-                b[:, 0::2] /= sw
-                b[:, 1::2] /= sh
-                dets_np["boxes"] = b
-            per_pass.append((dets_np, item))
-        if tta:
-            merged = merge_tta_detections(cfg, [d for d, _ in per_pass])
-            results.extend(
-                detections_to_coco(
-                    merged, per_pass[0][1]["image_id"], (1.0, 1.0), c2j
+                merged = merge_tta_detections(cfg, [d for d, _ in per_pass])
+                results.extend(
+                    detections_to_coco(
+                        merged, per_pass[0][1]["image_id"], (1.0, 1.0), c2j
+                    )
                 )
-            )
-        else:
-            dets_np, item = per_pass[0]
-            results.extend(
-                detections_to_coco(
-                    dets_np, item["image_id"], item["scale_hw"], c2j
+            else:
+                dets_np, meta = per_pass[0]
+                results.extend(
+                    detections_to_coco(
+                        dets_np, meta["image_id"], meta["scale_hw"], c2j
+                    )
                 )
-            )
 
     pending = None
     for items in zip(*loaders):
         dispatched = dispatch(items)
         if pending is not None:
             collect(pending)
-            n_done += 1
-            if progress_every and n_done % progress_every == 0:
+            n_done += pending[0][1]["count"]
+            if progress_every and n_done % progress_every < pending[0][1]["count"]:
                 logger(f"inference: {n_done}/{len(loaders[0])} images")
         pending = dispatched
     if pending is not None:
         collect(pending)
-        n_done += 1
+        n_done += pending[0][1]["count"]
     return results
 
 

@@ -186,3 +186,35 @@ def test_sharded_inference_equals_unsharded(tiny_cfg, tmp_path):
     # degenerate shard counts
     assert shard_ranges(6, 1) == [(0, 6)]
     assert shard_ranges(2, 5) == [(0, 1), (1, 2)]
+
+
+def test_batched_eval_equals_batch1(tiny_cfg, tmp_path):
+    """TEST.IMS_PER_GPU=3 must produce exactly the batch-1 results (the
+    model's test path treats images independently; the last partial batch
+    is padded and the padding dropped)."""
+    cfg = tiny_cfg
+    img_dir, ann_file = _make_coco_dir(tmp_path, n_images=7)
+    dataset = COCODataset(ann_file, img_dir)
+    loader = TrainLoader(cfg, dataset, batch_size=2, prefetch=0)
+    batch = next(iter(loader))
+    model, _, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+
+    single = run_inference_on_dataset(
+        cfg, model, state.params, dataset, progress_every=0
+    )
+    import copy
+
+    cfg_b = copy.deepcopy(cfg)
+    cfg_b.TEST.IMS_PER_GPU = 3
+    batched = run_inference_on_dataset(
+        cfg_b, model, state.params, dataset, progress_every=0
+    )
+
+    def norm(results):
+        return sorted(
+            (r["image_id"], r["category_id"],
+             tuple(round(v, 3) for v in r["bbox"]), round(r["score"], 5))
+            for r in results
+        )
+
+    assert norm(batched) == norm(single)
