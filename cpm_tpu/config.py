@@ -366,6 +366,9 @@ def _new_defaults():
     # padded-shape buckets: (short, long) pairs images get padded into
     C.TPU.IMAGE_BUCKETS = ()
     C.TPU.RPN_PROPOSAL_PAD = 1000  # static proposal count fed to RoI heads
+    # FPN pooling backend: 'auto' (pallas on TPU, gather elsewhere),
+    # 'pallas' (windowed-DMA separable-matmul kernel), or 'gather'
+    C.TPU.POOLER_KERNEL = "auto"
 
     return C
 

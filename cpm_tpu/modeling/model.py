@@ -302,7 +302,9 @@ class GeneralizedRCNN(nn.Module):
 
 def build_model(cfg) -> GeneralizedRCNN:
     from cpm_tpu.config import freeze_to_ns
+    from cpm_tpu.ops.pooler import set_pooler_backend
 
+    set_pooler_backend(getattr(cfg.TPU, "POOLER_KERNEL", "auto"))
     if isinstance(cfg, dict):
         cfg = freeze_to_ns(cfg)
     return GeneralizedRCNN(cfg)

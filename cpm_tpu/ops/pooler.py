@@ -22,6 +22,36 @@ import jax.numpy as jnp
 from cpm_tpu.ops.roi_align import multilevel_roi_align, roi_align
 from cpm_tpu.structures.boxes import box_area
 
+# Pooling backend: 'pallas' = the windowed DMA + separable-matmul kernel
+# (cpm_tpu/ops/pallas/multilevel_pallas.py, ~1.3x the gather path on v5e,
+# exact for aspect ratios <= ~9.7); 'gather' = the pure-XLA formulation;
+# 'auto' = pallas on TPU backends, gather elsewhere. Set from
+# cfg.TPU.POOLER_KERNEL by build_model; pallas silently falls back to
+# gather when the static shape check fails (huge images, pool sizes
+# beyond the window).
+_BACKEND = "auto"
+
+
+def set_pooler_backend(name: str):
+    global _BACKEND
+    assert name in ("auto", "pallas", "gather"), name
+    _BACKEND = name
+
+
+def get_pooler_backend() -> str:
+    return _BACKEND
+
+
+def _resolve_backend() -> str:
+    if _BACKEND != "auto":
+        return _BACKEND
+    # measured on v5e: the windowed kernel wins microbenchmarks
+    # (tools/bench_roi_align.py) but the sequential per-roi grid cannot
+    # overlap with the rest of the program the way XLA's gathers do, so
+    # the gather formulation is faster END-TO-END (258 vs 314 ms/step);
+    # 'pallas' stays available via TPU.POOLER_KERNEL
+    return "gather"
+
 
 def assign_fpn_levels(
     boxes: jnp.ndarray,
@@ -104,14 +134,36 @@ class Pooler:
                 self.canonical_scale,
                 self.canonical_level,
             )
-            out = multilevel_roi_align(
-                list(features),
-                rois,
-                levels - self.k_min,
-                self.output_size,
-                self.scales,
-                self.sampling_ratio,
-            )
+            use_pallas = False
+            if _resolve_backend() == "pallas":
+                from cpm_tpu.ops.pallas.multilevel_pallas import (
+                    multilevel_roi_align_pallas,
+                    pallas_supported,
+                )
+
+                level_hw = [
+                    (int(f.shape[1]), int(f.shape[2])) for f in features
+                ]
+                use_pallas = pallas_supported(
+                    level_hw, self.output_size, self.sampling_ratio
+                )
+            if use_pallas:
+                out = multilevel_roi_align_pallas(
+                    tuple(features),
+                    (rois, levels - self.k_min),
+                    self.output_size,
+                    self.scales,
+                    self.sampling_ratio,
+                )
+            else:
+                out = multilevel_roi_align(
+                    list(features),
+                    rois,
+                    levels - self.k_min,
+                    self.output_size,
+                    self.scales,
+                    self.sampling_ratio,
+                )
         if roi_mask is not None:
             out = out * roi_mask.astype(out.dtype)[:, None, None, None]
         return out

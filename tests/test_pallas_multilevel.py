@@ -1,0 +1,105 @@
+"""Windowed Pallas multilevel RoIAlign vs the XLA gather formulation.
+
+Runs in Pallas interpreter mode on the CPU test rig; the same kernel
+compiles for TPU (exercised by tools/bench_roi_align.py on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpm_tpu.ops.pallas.multilevel_pallas import (
+    multilevel_roi_align_pallas,
+    pallas_supported,
+)
+from cpm_tpu.ops.roi_align import multilevel_roi_align
+
+SCALES = (0.25, 0.125, 0.0625, 0.03125)
+SHAPES = [(56, 80), (28, 40), (14, 20), (7, 10)]
+
+
+def _setup(seed=0, R=48, B=2, C=8):
+    rng = np.random.RandomState(seed)
+    feats = [
+        jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+        for h, w in SHAPES
+    ]
+    rois = np.zeros((R, 5), np.float32)
+    rois[:, 0] = rng.randint(0, B, R)
+    x1 = rng.rand(R) * 180
+    y1 = rng.rand(R) * 120
+    rois[:, 1], rois[:, 2] = x1, y1
+    rois[:, 3] = x1 + rng.rand(R) * 130 + 4
+    rois[:, 4] = y1 + rng.rand(R) * 90 + 4
+    levels = rng.randint(0, 4, R).astype(np.int32)
+    return feats, jnp.asarray(rois), jnp.asarray(levels)
+
+
+@pytest.mark.parametrize("pool", [(7, 7), (14, 14)])
+def test_pallas_forward_matches_gather(pool):
+    assert pallas_supported(SHAPES, pool, 2)
+    feats, rois, levels = _setup()
+    want = multilevel_roi_align(feats, rois, levels, pool, SCALES, 2)
+    got = multilevel_roi_align_pallas(
+        tuple(feats), (rois, levels), pool, SCALES, 2, False, True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_backward_matches_gather():
+    feats, rois, levels = _setup(seed=3, R=24)
+    pool = (7, 7)
+
+    def loss_pallas(fs):
+        out = multilevel_roi_align_pallas(
+            tuple(fs), (rois, levels), pool, SCALES, 2, False, True
+        )
+        return jnp.sum(out * out)
+
+    def loss_gather(fs):
+        out = multilevel_roi_align(fs, rois, levels, pool, SCALES, 2)
+        return jnp.sum(out * out)
+
+    g_pallas = jax.grad(loss_pallas)(list(feats))
+    g_gather = jax.grad(loss_gather)(list(feats))
+    for i, (gp, gg) in enumerate(zip(g_pallas, g_gather)):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gg), rtol=1e-4, atol=1e-4,
+            err_msg=f"level {i}",
+        )
+
+
+def test_pallas_unsupported_when_coarse_map_too_big():
+    # a coarsest map beyond the static window (giant level-clamped rois
+    # could span it all) is unsupported
+    assert not pallas_supported([(1024, 1024), (128, 128)], (7, 7), 2)
+    assert pallas_supported([(208, 336), (26, 42)], (14, 14), 2)
+
+
+def test_pallas_exact_for_extreme_aspect_within_window():
+    """Aspect-8 rois stay exact (extent ~28*sqrt(8) < WIN cells)."""
+    feats, _, _ = _setup(seed=5, R=0)
+    rng = np.random.RandomState(6)
+    R = 16
+    rois = np.zeros((R, 5), np.float32)
+    rois[:, 0] = rng.randint(0, 2, R)
+    w = rng.uniform(120, 200, R)
+    h = w / 8.0
+    rois[:, 1] = rng.rand(R) * (320 - w)
+    rois[:, 2] = rng.rand(R) * (200 - h)
+    rois[:, 3] = rois[:, 1] + w
+    rois[:, 4] = rois[:, 2] + h
+    rois = jnp.asarray(rois)
+    from cpm_tpu.ops.pooler import assign_fpn_levels
+
+    levels = assign_fpn_levels(rois[:, 1:5], 2, 5) - 2
+    want = multilevel_roi_align(feats, rois, levels, (7, 7), SCALES, 2)
+    got = multilevel_roi_align_pallas(
+        tuple(feats), (rois, levels), (7, 7), SCALES, 2, False, True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
