@@ -79,7 +79,15 @@ class TrainLoader:
         self.world_size = world_size
         self.seed = seed
         self.start_iter = start_iter
-        self.transform = TrainTransform(cfg)
+        # device_normalize: ship raw uint8 (1/4 the host->device bytes);
+        # the model applies the input affine on chip (see
+        # GeneralizedRCNN._normalize_uint8)
+        self.device_normalize = bool(
+            getattr(cfg.TPU, "DEVICE_NORMALIZE", False)
+        )
+        self.transform = TrainTransform(
+            cfg, normalize=not self.device_normalize
+        )
         self.max_gt = cfg.TRAIN.MAX_GT_BOXES
         self.divisibility = cfg.TRAIN.SIZE_DIVISIBILITY
         short, long = compute_buckets(
@@ -141,11 +149,17 @@ class TrainLoader:
             try:
                 with open(self.dataset.image_path(i), "rb") as f:
                     data = f.read()
-                img, _ = nat.decode_resize_normalize(
-                    data, (nh, nw), (nh, nw),
-                    self.transform.pixel_means, self.transform.pixel_stds,
-                    self.transform.to_bgr255,
-                )
+                if self.device_normalize:
+                    img, _ = nat.decode_resize_u8(
+                        data, (nh, nw), (nh, nw), self.transform.to_bgr255
+                    )
+                else:
+                    img, _ = nat.decode_resize_normalize(
+                        data, (nh, nw), (nh, nw),
+                        self.transform.pixel_means,
+                        self.transform.pixel_stds,
+                        self.transform.to_bgr255,
+                    )
                 b = boxes.copy()
                 b[:, 0::2] *= nw / ow
                 b[:, 1::2] *= nh / oh
@@ -183,14 +197,25 @@ class TrainLoader:
         max_w = max(p[2][1] for p in plan)
         try:
             for t, (i, _, (nh, nw), _) in enumerate(plan):
-                self.pool.submit(
-                    t, self.dataset.image_path(i), (nh, nw), (max_h, max_w),
-                    self.transform.pixel_means, self.transform.pixel_stds,
-                    self.transform.to_bgr255,
-                )
+                if self.device_normalize:
+                    self.pool.submit_u8(
+                        t, self.dataset.image_path(i), (nh, nw),
+                        (max_h, max_w), self.transform.to_bgr255,
+                    )
+                else:
+                    self.pool.submit(
+                        t, self.dataset.image_path(i), (nh, nw),
+                        (max_h, max_w),
+                        self.transform.pixel_means,
+                        self.transform.pixel_stds,
+                        self.transform.to_bgr255,
+                    )
             decoded = [None] * len(plan)
             for _ in plan:
-                t, img, _ = self.pool.wait_any((max_h, max_w))
+                if self.device_normalize:
+                    t, img, _ = self.pool.wait_any_u8((max_h, max_w))
+                else:
+                    t, img, _ = self.pool.wait_any((max_h, max_w))
                 decoded[t] = img
         except RuntimeError:
             return None  # a worker failed (e.g. undecodable file)
@@ -233,7 +258,8 @@ class TrainLoader:
         )
         bh, bw = bucket
         B = len(images)
-        out_images = np.zeros((B, bh, bw, 3), np.float32)
+        img_dtype = np.uint8 if self.device_normalize else np.float32
+        out_images = np.zeros((B, bh, bw, 3), img_dtype)
         out_sizes = np.zeros((B, 2), np.int32)
         gt_boxes = np.zeros((B, self.max_gt, 4), np.float32)
         gt_labels = np.zeros((B, self.max_gt), np.int32)
@@ -313,7 +339,13 @@ class TestLoader:
         self.dataset = dataset
         self.start = start
         self.end = len(dataset) if end is None else end
-        self.transform = TestTransform(cfg, scale=scale, max_size=max_size)
+        self.device_normalize = bool(
+            getattr(cfg.TPU, "DEVICE_NORMALIZE", False)
+        )
+        self.transform = TestTransform(
+            cfg, scale=scale, max_size=max_size,
+            normalize=not self.device_normalize,
+        )
         self.divisibility = cfg.TEST.SIZE_DIVISIBILITY
         scale_v = scale if scale is not None else cfg.TEST.SCALE
         max_v = max_size if max_size is not None else cfg.TEST.MAX_SIZE
@@ -345,11 +377,16 @@ class TestLoader:
         try:
             with open(self.dataset.image_path(i), "rb") as f:
                 data = f.read()
-            img, _ = nat.decode_resize_normalize(
-                data, (nh, nw), bucket,
-                self.transform.pixel_means, self.transform.pixel_stds,
-                self.transform.to_bgr255,
-            )
+            if self.device_normalize:
+                img, _ = nat.decode_resize_u8(
+                    data, (nh, nw), bucket, self.transform.to_bgr255
+                )
+            else:
+                img, _ = nat.decode_resize_normalize(
+                    data, (nh, nw), bucket,
+                    self.transform.pixel_means, self.transform.pixel_stds,
+                    self.transform.to_bgr255,
+                )
         except RuntimeError:
             return None
         if self.hflip:
@@ -377,7 +414,10 @@ class TestLoader:
                 else self.buckets["portrait"]
             )
             bh, bw = bucket
-            img = np.zeros((bh, bw, 3), np.float32)
+            img = np.zeros(
+                (bh, bw, 3),
+                np.uint8 if self.device_normalize else np.float32,
+            )
             img[:nh, :nw] = norm[:bh, :bw]
         key = "landscape" if nw >= nh else "portrait"
         meta = dict(

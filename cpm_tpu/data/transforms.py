@@ -96,16 +96,27 @@ def normalize_image(
     return (img - mean) / std
 
 
-class TrainTransform:
-    """Random-scale resize + random hflip + normalize."""
+def to_model_channel_order(image: np.ndarray, to_bgr255: bool) -> np.ndarray:
+    """uint8 RGB -> uint8 in the model's expected channel order (no
+    normalization — the model applies the input affine on device)."""
+    if to_bgr255:
+        return np.ascontiguousarray(image[:, :, ::-1])
+    return np.ascontiguousarray(image)
 
-    def __init__(self, cfg):
+
+class TrainTransform:
+    """Random-scale resize + random hflip + normalize (or, with
+    normalize=False, uint8 output in model channel order for device-side
+    normalization)."""
+
+    def __init__(self, cfg, normalize: bool = True):
         self.scales = tuple(cfg.TRAIN.SCALES)
         self.max_size = cfg.TRAIN.MAX_SIZE
         self.flip_prob = 0.5  # RandomHorizontalFlip(0.5), transform.py:37-45
         self.pixel_means = tuple(cfg.PIXEL_MEANS)
         self.pixel_stds = tuple(cfg.PIXEL_STDS)
         self.to_bgr255 = bool(cfg.TO_BGR255)
+        self.normalize = normalize
 
     def __call__(self, image, boxes, rng: np.random.RandomState):
         shortest = self.scales[rng.randint(len(self.scales))]
@@ -114,9 +125,12 @@ class TrainTransform:
         )
         if rng.rand() < self.flip_prob:
             image, boxes = hflip_image_and_boxes(image, boxes)
-        image = normalize_image(
-            image, self.pixel_means, self.pixel_stds, self.to_bgr255
-        )
+        if self.normalize:
+            image = normalize_image(
+                image, self.pixel_means, self.pixel_stds, self.to_bgr255
+            )
+        else:
+            image = to_model_channel_order(image, self.to_bgr255)
         return image, boxes, size
 
 
@@ -125,12 +139,13 @@ class TestTransform:
     mapping detections back to original coordinates."""
 
     def __init__(self, cfg, scale: Optional[int] = None,
-                 max_size: Optional[int] = None):
+                 max_size: Optional[int] = None, normalize: bool = True):
         self.scale = scale if scale is not None else cfg.TEST.SCALE
         self.max_size = max_size if max_size is not None else cfg.TEST.MAX_SIZE
         self.pixel_means = tuple(cfg.PIXEL_MEANS)
         self.pixel_stds = tuple(cfg.PIXEL_STDS)
         self.to_bgr255 = bool(cfg.TO_BGR255)
+        self.normalize = normalize
 
     def __call__(self, image):
         h, w = image.shape[:2]
@@ -138,7 +153,10 @@ class TestTransform:
         image, _, (nh, nw) = resize_image_and_boxes(
             image, dummy, self.scale, self.max_size
         )
-        image = normalize_image(
-            image, self.pixel_means, self.pixel_stds, self.to_bgr255
-        )
+        if self.normalize:
+            image = normalize_image(
+                image, self.pixel_means, self.pixel_stds, self.to_bgr255
+            )
+        else:
+            image = to_model_channel_order(image, self.to_bgr255)
         return image, (nh, nw), (nh / h, nw / w)

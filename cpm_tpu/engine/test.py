@@ -76,7 +76,7 @@ def make_forward_fn(cfg, model, params):
     Params are passed as a jit ARGUMENT (donating them to the closure
     would bake ~100MB of literals into the HLO: slow compiles, and
     tunneled PJRT backends reject the oversized compile request)."""
-    from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
+    from cpm_tpu.utils.amp import cast_floating_to, cast_images, compute_dtype
 
     cdtype = compute_dtype(cfg)
     cast_params = jax.device_put(cast_floating_to(params, cdtype))
@@ -84,7 +84,7 @@ def make_forward_fn(cfg, model, params):
     @jax.jit
     def forward_impl(p, images, image_sizes):
         return model.apply(
-            {"params": p}, images.astype(cdtype), image_sizes,
+            {"params": p}, cast_images(images, cdtype), image_sizes,
             train=False,
         )
 
@@ -239,15 +239,27 @@ def run_inference_on_dataset(
 
     def collect(pending):
         count = pending[0][1]["count"]
+        # ONE device->host transfer per (pass, batch): per-array indexed
+        # reads would cost a full host round trip each (4 arrays x images
+        # x passes), which dominates wall time on high-latency transports
+        fetched = [
+            (
+                jax.device_get(
+                    (dets.boxes, dets.scores, dets.labels, dets.mask)
+                ),
+                item,
+            )
+            for dets, item in pending
+        ]
         for j in range(count):
             per_pass: List[Dict[str, np.ndarray]] = []
-            for p, (dets, item) in zip(passes, pending):
+            for p, ((fb, fs, fl, fm), item) in zip(passes, fetched):
                 meta = item["meta"][j]
                 dets_np = dict(
-                    boxes=np.asarray(dets.boxes[j]),
-                    scores=np.asarray(dets.scores[j]),
-                    labels=np.asarray(dets.labels[j]),
-                    mask=np.asarray(dets.mask[j]),
+                    boxes=np.array(fb[j]),
+                    scores=np.array(fs[j]),
+                    labels=np.array(fl[j]),
+                    mask=np.array(fm[j]),
                 )
                 if p["hflip"]:
                     dets_np = _unflip_dets(

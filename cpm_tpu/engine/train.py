@@ -16,7 +16,7 @@ from flax import struct
 from cpm_tpu.modeling.model import build_model
 from cpm_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from cpm_tpu.solver import build_optimizer, make_lr_fn
-from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
+from cpm_tpu.utils.amp import cast_floating_to, cast_images, compute_dtype
 
 
 @struct.dataclass
@@ -88,7 +88,7 @@ def make_train_step(cfg, model, tx) -> Callable:
 
         def loss_fn(params):
             p = cast_floating_to(params, cdtype)
-            images = batch["images"].astype(cdtype)
+            images = cast_images(batch["images"], cdtype)
             losses = model.apply(
                 {"params": p},
                 images,

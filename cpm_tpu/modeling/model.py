@@ -204,6 +204,30 @@ class GeneralizedRCNN(nn.Module):
             straddle_thresh=c.RPN.STRADDLE_THRESH,
         )
 
+    def _normalize_uint8(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Device-side input normalization for uint8 batches.
+
+        The loader ships raw uint8 pixels (1/4 the host->device bytes of
+        f32) with the channel order already matching TO_BGR255; this
+        applies the per-channel (x*a + b) affine — the reference's
+        in-model AffineChannel2d normalization (model_builder.py:24-28,
+        164) done the XLA way: the affine fuses into conv1's input.
+        """
+        import numpy as np
+
+        from cpm_tpu.utils.amp import compute_dtype
+
+        c = self.cfg
+        mean = np.asarray(c.PIXEL_MEANS, np.float32)
+        std = np.asarray(c.PIXEL_STDS, np.float32)
+        if c.TO_BGR255:
+            a = 1.0 / std
+        else:
+            a = 1.0 / (255.0 * std)
+        b = -mean / std
+        out = images.astype(jnp.float32) * a + b
+        return out.astype(compute_dtype(c))
+
     def __call__(
         self,
         images: jnp.ndarray,
@@ -213,6 +237,8 @@ class GeneralizedRCNN(nn.Module):
     ):
         """Train: returns dict of losses. Test: returns Detections."""
         c = self.cfg
+        if images.dtype == jnp.uint8:
+            images = self._normalize_uint8(images)
         feats = self._features(images)
         rpn_feats = feats if c.MODEL.FPN_ON else feats[-1:]
         objectness, box_reg = self.rpn_head(rpn_feats)
@@ -235,6 +261,7 @@ class GeneralizedRCNN(nn.Module):
             fpn_post_nms_per_batch=c.RPN.FPN_POST_NMS_PER_BATCH,
             is_train=train,
             box_coder=self.rpn_box_coder,
+            approx_topk=getattr(c.TPU, "APPROX_TOPK", True),
         )
 
         if train:

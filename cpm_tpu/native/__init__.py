@@ -54,6 +54,13 @@ def get_lib():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.imgops_decode_resize_u8.restype = ctypes.c_int
+        lib.imgops_decode_resize_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         lib.pool_create.restype = ctypes.c_void_p
         lib.pool_create.argtypes = [ctypes.c_int]
         lib.pool_submit.restype = None
@@ -66,6 +73,17 @@ def get_lib():
         lib.pool_wait_any.restype = ctypes.c_int64
         lib.pool_wait_any.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.pool_submit_u8.restype = None
+        lib.pool_submit_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pool_wait_any_u8.restype = ctypes.c_int64
+        lib.pool_wait_any_u8.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
@@ -107,8 +125,30 @@ def decode_resize_normalize(
     return out, (oh.value, ow.value)
 
 
+def decode_resize_u8(data: bytes, resized_hw, padded_hw, to_bgr255=True):
+    """Fused decode+resize+pad to uint8, channel order per to_bgr255 (no
+    normalization — the model applies the input affine on device). Returns
+    (image [ph,pw,3] u8, (orig_h, orig_w))."""
+    lib = get_lib()
+    rh, rw = resized_hw
+    ph, pw = padded_hw
+    out = np.zeros((ph, pw, 3), np.uint8)
+    oh = ctypes.c_int(0)
+    ow = ctypes.c_int(0)
+    rc = lib.imgops_decode_resize_u8(
+        data, len(data), rh, rw, ph, pw, 1 if to_bgr255 else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(oh), ctypes.byref(ow),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native image decode failed (rc={rc})")
+    return out, (oh.value, ow.value)
+
+
 class ImagePool:
-    """Worker-pool prefetcher over the native library."""
+    """Worker-pool prefetcher over the native library. One pool carries a
+    single task mode — either submit/wait_any (float32, host-normalized)
+    or submit_u8/wait_any_u8 (uint8, device-normalized)."""
 
     def __init__(self, n_workers: int = 4):
         self.lib = get_lib()
@@ -126,6 +166,32 @@ class ImagePool:
             self.pool, task_id, path.encode(), rh, rw, ph, pw,
             _fptr(mean), _fptr(std), 1 if to_bgr255 else 0,
         )
+
+    def submit_u8(self, task_id: int, path: str, resized_hw, padded_hw,
+                  to_bgr255: bool = True):
+        rh, rw = resized_hw
+        ph, pw = padded_hw
+        self.lib.pool_submit_u8(
+            self.pool, task_id, path.encode(), rh, rw, ph, pw,
+            1 if to_bgr255 else 0,
+        )
+
+    def wait_any_u8(self, padded_hw):
+        ph, pw = padded_hw
+        out = np.zeros((ph, pw, 3), np.uint8)
+        status = ctypes.c_int(-1)
+        oh = ctypes.c_int(0)
+        ow = ctypes.c_int(0)
+        task_id = self.lib.pool_wait_any_u8(
+            self.pool, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(status), ctypes.byref(oh), ctypes.byref(ow),
+        )
+        if status.value != 0:
+            raise RuntimeError(
+                f"native prefetch failed for task {task_id} "
+                f"(status={status.value})"
+            )
+        return task_id, out, (oh.value, ow.value)
 
     def wait_any(self, padded_hw):
         ph, pw = padded_hw

@@ -254,6 +254,51 @@ int imgops_decode_resize_normalize(
   return 0;
 }
 
+// Decode -> resize -> optional RGB->BGR swap -> round to uint8 -> pad.
+// The uint8 output is the device-side-normalization data path: the host
+// ships 1/4 the bytes and the model applies the (x*a + b) input affine on
+// chip (the reference ships BGR blobs and normalizes in-model through
+// AffineChannel2d, pet/rcnn/modeling/model_builder.py:24-28,164).
+// Rounding to uint8 after the bilinear resize matches PIL semantics
+// (PIL.Image.resize returns a uint8 image that the reference normalizes).
+int imgops_decode_resize_u8(
+    const uint8_t* bytes, int64_t len, int rh, int rw, int ph, int pw,
+    int to_bgr, uint8_t* out, int* orig_h, int* orig_w) {
+  std::vector<uint8_t> rgb;
+  int iw = 0, ihh = 0;
+  int rc = decode_jpeg_rgb(bytes, size_t(len), &rgb, &iw, &ihh);
+  if (rc != 0) rc = decode_png_rgb(bytes, size_t(len), &rgb, &iw, &ihh);
+  if (rc != 0) return rc;
+  *orig_h = ihh;
+  *orig_w = iw;
+
+  std::vector<float> resized(size_t(rh) * rw * 3);
+  resize_bilinear(rgb.data(), ihh, iw, resized.data(), rh, rw);
+
+  auto q = [](float v) {
+    int i = int(v + 0.5f);
+    return (uint8_t)(i < 0 ? 0 : (i > 255 ? 255 : i));
+  };
+  memset(out, 0, size_t(ph) * pw * 3);
+  for (int y = 0; y < rh; ++y) {
+    const float* s = resized.data() + size_t(y) * rw * 3;
+    uint8_t* d = out + size_t(y) * pw * 3;
+    for (int x = 0; x < rw; ++x) {
+      float r = s[x * 3 + 0], g = s[x * 3 + 1], b = s[x * 3 + 2];
+      if (to_bgr) {
+        d[x * 3 + 0] = q(b);
+        d[x * 3 + 1] = q(g);
+        d[x * 3 + 2] = q(r);
+      } else {
+        d[x * 3 + 0] = q(r);
+        d[x * 3 + 1] = q(g);
+        d[x * 3 + 2] = q(b);
+      }
+    }
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------
 // worker-pool prefetcher
 // ---------------------------------------------------------------------
@@ -262,8 +307,10 @@ struct Task {
   int64_t id;
   std::string path;
   int rh, rw, ph, pw, to_bgr;
+  int u8_mode = 0;  // 1: decode into out8 (no normalization)
   float mean[3], std_[3];
   std::vector<float> out;
+  std::vector<uint8_t> out8;
   int orig_h = 0, orig_w = 0, status = -1;
 };
 
@@ -298,10 +345,18 @@ static void worker_main(Pool* p) {
       size_t got = fread(bytes.data(), 1, n, f);
       fclose(f);
       if ((long)got == n) {
-        t->out.resize(size_t(t->ph) * t->pw * 3);
-        t->status = imgops_decode_resize_normalize(
-            bytes.data(), bytes.size(), t->rh, t->rw, t->ph, t->pw, t->mean,
-            t->std_, t->to_bgr, t->out.data(), &t->orig_h, &t->orig_w);
+        if (t->u8_mode) {
+          t->out8.resize(size_t(t->ph) * t->pw * 3);
+          t->status = imgops_decode_resize_u8(
+              bytes.data(), bytes.size(), t->rh, t->rw, t->ph, t->pw,
+              t->to_bgr, t->out8.data(), &t->orig_h, &t->orig_w);
+        } else {
+          t->out.resize(size_t(t->ph) * t->pw * 3);
+          t->status = imgops_decode_resize_normalize(
+              bytes.data(), bytes.size(), t->rh, t->rw, t->ph, t->pw,
+              t->mean, t->std_, t->to_bgr, t->out.data(), &t->orig_h,
+              &t->orig_w);
+        }
       }
     }
     {
@@ -340,9 +395,31 @@ void pool_submit(void* pool, int64_t id, const char* path, int rh, int rw,
   p->cv_pending.notify_one();
 }
 
+// uint8-mode submit: no mean/std (the model normalizes on device).
+void pool_submit_u8(void* pool, int64_t id, const char* path, int rh,
+                    int rw, int ph, int pw, int to_bgr) {
+  Pool* p = static_cast<Pool*>(pool);
+  Task* t = new Task();
+  t->id = id;
+  t->path = path;
+  t->rh = rh;
+  t->rw = rw;
+  t->ph = ph;
+  t->pw = pw;
+  t->to_bgr = to_bgr;
+  t->u8_mode = 1;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->pending.push_back(t);
+  }
+  p->cv_pending.notify_one();
+}
+
 // Blocks until one finished task is available; copies its buffer into out
 // (must hold ph*pw*3 floats) and returns its id. status/orig sizes via
 // out-params. Returns -1 if the pool is stopping and empty.
+// A pool carries ONE task mode: mixing pool_submit and pool_submit_u8 in
+// the same pool yields status -4 from the mismatched wait.
 int64_t pool_wait_any(void* pool, float* out, int* status, int* orig_h,
                       int* orig_w) {
   Pool* p = static_cast<Pool*>(pool);
@@ -354,11 +431,31 @@ int64_t pool_wait_any(void* pool, float* out, int* status, int* orig_h,
     t = p->done.front();
     p->done.pop_front();
   }
-  *status = t->status;
+  *status = t->u8_mode ? -4 : t->status;
   *orig_h = t->orig_h;
   *orig_w = t->orig_w;
-  if (t->status == 0)
+  if (*status == 0)
     memcpy(out, t->out.data(), t->out.size() * sizeof(float));
+  int64_t id = t->id;
+  delete t;
+  return id;
+}
+
+int64_t pool_wait_any_u8(void* pool, uint8_t* out, int* status, int* orig_h,
+                         int* orig_w) {
+  Pool* p = static_cast<Pool*>(pool);
+  Task* t = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv_done.wait(lk, [&] { return p->stop.load() || !p->done.empty(); });
+    if (p->done.empty()) return -1;
+    t = p->done.front();
+    p->done.pop_front();
+  }
+  *status = t->u8_mode ? t->status : -4;
+  *orig_h = t->orig_h;
+  *orig_w = t->orig_w;
+  if (*status == 0) memcpy(out, t->out8.data(), t->out8.size());
   int64_t id = t->id;
   delete t;
   return id;

@@ -45,11 +45,18 @@ def get_pooler_backend() -> str:
 def _resolve_backend() -> str:
     if _BACKEND != "auto":
         return _BACKEND
-    # measured on v5e: the windowed kernel wins microbenchmarks
-    # (tools/bench_roi_align.py) but the sequential per-roi grid cannot
-    # overlap with the rest of the program the way XLA's gathers do, so
-    # the gather formulation is faster END-TO-END (258 vs 314 ms/step);
-    # 'pallas' stays available via TPU.POOLER_KERNEL
+    # measured on v5e (CPM R-50 train step, batch 2 @ 832x1344): the
+    # windowed kernel's race-free backward avoids the XLA scatter-adds
+    # that dominate the gather path's backward (~60 ms/step of kScatter
+    # custom fusions in the profile) — 222 vs 251 ms/step end-to-end.
+    # 'gather' stays available via TPU.POOLER_KERNEL.
+    import jax
+
+    try:
+        if jax.default_backend() not in ("cpu",):
+            return "pallas"
+    except Exception:
+        pass
     return "gather"
 
 

@@ -25,6 +25,15 @@ def cast_floating_to(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
+def cast_images(images, dtype):
+    """Cast an image batch to the compute dtype — EXCEPT uint8 batches,
+    which stay uint8 so the model's device-side normalization
+    (GeneralizedRCNN._normalize_uint8) sees them."""
+    if images.dtype == jnp.uint8:
+        return images
+    return images.astype(dtype)
+
+
 def compute_dtype(cfg):
     """Resolve TPU.COMPUTE_DTYPE ('bfloat16' | 'float32')."""
     name = getattr(getattr(cfg, "TPU", None), "COMPUTE_DTYPE", "float32")

@@ -109,3 +109,51 @@ def test_eval_forward_detections(tiny_cfg, tiny_batch):
     # labels of valid detections are foreground classes
     lv = np.asarray(dets.labels)[np.asarray(dets.mask)]
     assert ((lv >= 1) & (lv < 5)).all()
+
+
+def test_uint8_device_normalize_matches_f32(tiny_cfg, tiny_batch):
+    """A raw uint8 batch (device-side normalization) must produce the same
+    detections as the equivalent host-normalized f32 batch."""
+    import copy
+
+    from cpm_tpu.data.transforms import normalize_image
+
+    _, image_sizes, gt = tiny_batch
+    rng = np.random.RandomState(7)
+    raw = rng.randint(0, 256, (2, 64, 64, 3), np.uint8)  # RGB
+
+    # f32 compute: the f32 reference path below bypasses the engine's
+    # bf16 cast, while _normalize_uint8 lands in the compute dtype — a
+    # dtype mismatch would dominate the comparison
+    c = copy.deepcopy(tiny_cfg)
+    c.TPU.COMPUTE_DTYPE = "float32"
+    # host path: normalize exactly like the loaders do
+    f32 = np.stack([
+        normalize_image(
+            raw[i], tuple(c.PIXEL_MEANS), tuple(c.PIXEL_STDS),
+            bool(c.TO_BGR255),
+        )
+        for i in range(2)
+    ])
+    # device path: uint8 in model channel order (BGR when TO_BGR255)
+    u8 = raw[..., ::-1] if c.TO_BGR255 else raw
+
+    model = build_model(c)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(f32), image_sizes, gt=gt, train=True,
+    )
+    d_f32 = model.apply(variables, jnp.asarray(f32), image_sizes, train=False)
+    d_u8 = model.apply(
+        variables, jnp.asarray(np.ascontiguousarray(u8)), image_sizes,
+        train=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_f32.mask), np.asarray(d_u8.mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_f32.boxes), np.asarray(d_u8.boxes), atol=1e-2, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_f32.scores), np.asarray(d_u8.scores), atol=1e-4
+    )

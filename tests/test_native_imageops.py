@@ -97,3 +97,47 @@ def test_pool_prefetch(tmp_path):
     for i in range(6):
         want = normalize_image(arrays[i], MEANS)
         np.testing.assert_allclose(seen[i][:40, :40], want, atol=1e-3)
+
+
+def test_decode_resize_u8_matches_float_affine():
+    """uint8 path (device normalization) == float path up to the u8
+    rounding after resize."""
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 255, (40, 60, 3), np.uint8)
+    data = _png_bytes(arr)
+    u8, (oh, ow) = native.decode_resize_u8(data, (20, 30), (32, 32), True)
+    assert u8.dtype == np.uint8 and (oh, ow) == (40, 60)
+    f32, _ = native.decode_resize_normalize(
+        data, (20, 30), (32, 32), MEANS, (1.0, 1.0, 1.0), True
+    )
+    # device-side affine: (u8 - mean) / std
+    affine = u8.astype(np.float32) - np.asarray(MEANS, np.float32)
+    # valid region matches up to 0.5 quantization; padding stays zeroed in
+    # u8 but equals -mean/std in the float path only inside normalize --
+    # both paths zero the padding BEFORE normalize, so compare valid only
+    assert np.max(np.abs(affine[:20, :30] - f32[:20, :30])) <= 0.5 + 1e-4
+    assert not u8[20:, :].any() and not u8[:, 30:].any()
+
+
+def test_pool_u8_mode(tmp_path):
+    rng = np.random.RandomState(5)
+    paths, arrays = [], []
+    for i in range(4):
+        arr = rng.randint(0, 255, (24, 24, 3), np.uint8)
+        p = tmp_path / f"u8_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+        arrays.append(arr)
+    pool = native.ImagePool(n_workers=2)
+    for i, p in enumerate(paths):
+        pool.submit_u8(i, p, (24, 24), (32, 32), True)
+    seen = {}
+    for _ in paths:
+        tid, out, (oh, ow) = pool.wait_any_u8((32, 32))
+        assert out.dtype == np.uint8 and (oh, ow) == (24, 24)
+        seen[int(tid)] = out
+    pool.close()
+    for i in range(4):
+        np.testing.assert_array_equal(
+            seen[i][:24, :24], arrays[i][:, :, ::-1]
+        )
