@@ -255,7 +255,7 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                 ).reshape(rows, WIN, C)
                 win_scratch[pl.ds(0, rows), pl.ds(0, ww_), :] = (
                     win_scratch[pl.ds(0, rows), pl.ds(0, ww_), :]
-                    + gw_slab[:, :ww_]
+                    + gw_slab[:, :ww_].astype(win_scratch.dtype)
                 )
                 dma_out = pltpu.make_async_copy(
                     win_scratch.at[pl.ds(0, rows), pl.ds(0, ww_), :],
@@ -273,11 +273,16 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     jax.lax.switch(lvl, [acc_branch(l) for l in range(nlvl)])
 
 
-def pallas_supported(level_hw, output_size, sampling_ratio) -> bool:
+def pallas_supported(level_hw, output_size, sampling_ratio,
+                     channels=None) -> bool:
     """Static check: windows must cover roi extents (image <= ~WIN*32 px
-    means the coarsest map fits in one window) and sample counts must fit."""
+    means the coarsest map fits in one window), sample counts must fit,
+    and the channel dim must be lane-aligned (C % 128 == 0 — Mosaic
+    cannot shape-cast [h, w, C] to [h, w*C] otherwise)."""
     h_top, w_top = level_hw[-1]
     if h_top > WIN or ((w_top + 7) // 8) * 8 > WIN:
+        return False
+    if channels is not None and channels % 128 != 0:
         return False
     ph, pw = output_size
     sr = sampling_ratio if sampling_ratio > 0 else 2
@@ -377,9 +382,15 @@ def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
         output_size, sr, aligned,
     )
 
-    # grads accumulate in f32 (W-padded buffers, cropped after)
+    # grads accumulate in the FEATURE dtype (bf16 on the TPU compute
+    # path, f32 in f32 tests) — matching the gather formulation, whose
+    # XLA scatter-adds also accumulate in bf16, and halving the
+    # read-modify-write DMA traffic that dominates this kernel
+    # (W-padded buffers, cropped after)
+    acc_dtype = features[0].dtype
+    slab_rows = 32 if acc_dtype == jnp.bfloat16 else 16
     zeros = tuple(
-        jnp.zeros((f.shape[0], hp, wp, C), jnp.float32)
+        jnp.zeros((f.shape[0], hp, wp, C), acc_dtype)
         for f, (hp, wp) in zip(features, level_hw_pad)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -398,9 +409,9 @@ def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
             pl.BlockSpec(memory_space=pl.ANY) for _ in features
         ),
         scratch_shapes=[
-            # y-slab accumulator (16 rows at a time) — a full f32 window
-            # would not fit VMEM next to the matmul intermediates
-            pltpu.VMEM((16, WIN, C), jnp.float32),
+            # y-slab accumulator — a full window would not fit VMEM next
+            # to the matmul intermediates
+            pltpu.VMEM((slab_rows, WIN, C), acc_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -409,7 +420,7 @@ def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(
-            jax.ShapeDtypeStruct(z.shape, jnp.float32) for z in zeros
+            jax.ShapeDtypeStruct(z.shape, acc_dtype) for z in zeros
         ),
         input_output_aliases={
             # zeros inputs alias the grad outputs for in-place

@@ -152,7 +152,8 @@ class Pooler:
                     (int(f.shape[1]), int(f.shape[2])) for f in features
                 ]
                 use_pallas = pallas_supported(
-                    level_hw, self.output_size, self.sampling_ratio
+                    level_hw, self.output_size, self.sampling_ratio,
+                    channels=int(features[0].shape[-1]),
                 )
             if use_pallas:
                 out = multilevel_roi_align_pallas(

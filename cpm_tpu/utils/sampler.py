@@ -24,12 +24,36 @@ def _random_rank(mask: jnp.ndarray, key) -> jnp.ndarray:
     return rank
 
 
-def sample_k_from_mask(mask: jnp.ndarray, k, key) -> jnp.ndarray:
+def sample_k_from_mask(mask: jnp.ndarray, k, key, k_max=None) -> jnp.ndarray:
     """Uniformly select min(k, sum(mask)) elements of mask. Returns bool mask.
 
-    k may be a traced scalar; broadcasting over leading batch dims works when
-    k has matching leading dims.
+    k may be a traced scalar (with optional leading batch dims). When a
+    static upper bound `k_max` is known (or k itself is a python int), the
+    selection runs as `priority <= k-th smallest priority` via lax.top_k —
+    the TPU TopK custom call — instead of a double argsort over the whole
+    axis (RPN samples 256 of ~280k anchors; two full sorts of 280k keys
+    cost ~8 ms/step each on v5e, the top-256 custom call microseconds).
     """
+    noise = jax.random.uniform(key, mask.shape)
+    priority = jnp.where(mask, noise, jnp.inf)
+    if k_max is None and isinstance(k, int):
+        k_max = k
+    if k_max is not None:
+        kk = min(int(k_max), mask.shape[-1])
+        if kk <= 0:
+            return jnp.zeros_like(mask)
+        smallest = -jax.lax.top_k(-priority, kk)[0]  # ascending [..., kk]
+        idx = jnp.clip(jnp.asarray(k) - 1, 0, kk - 1).astype(jnp.int32)
+        if jnp.ndim(idx) > 0:
+            idx = idx[..., None]
+        idx = jnp.broadcast_to(idx, smallest.shape[:-1] + (1,))
+        kth = jnp.take_along_axis(smallest, idx, axis=-1)[..., 0]
+        # kth == inf when fewer than k masked -> selects all available
+        sel = mask & (priority <= kth[..., None])
+        nonzero = jnp.asarray(k) > 0
+        if jnp.ndim(nonzero) > 0:
+            nonzero = nonzero[..., None]
+        return sel & nonzero
     rank = _random_rank(mask, key)
     if jnp.ndim(k) > 0:
         k = k[..., None]
@@ -60,6 +84,8 @@ def balanced_sample(
     n_neg_avail = jnp.sum(neg_mask.astype(jnp.int32), axis=-1)
     num_pos = jnp.minimum(n_pos_avail, max_pos)
     num_neg = jnp.minimum(n_neg_avail, batch_size_per_image - num_pos)
-    sel_pos = sample_k_from_mask(pos_mask, num_pos, kp)
-    sel_neg = sample_k_from_mask(neg_mask, num_neg, kn)
+    sel_pos = sample_k_from_mask(pos_mask, num_pos, kp, k_max=max_pos)
+    sel_neg = sample_k_from_mask(
+        neg_mask, num_neg, kn, k_max=batch_size_per_image
+    )
     return sel_pos, sel_neg

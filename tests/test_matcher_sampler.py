@@ -70,3 +70,40 @@ def test_balanced_sample_few_positives(rng):
     )
     assert int(np.asarray(sp).sum()) == 3
     assert int(np.asarray(sn).sum()) == 61
+
+
+def test_sample_k_topk_path_uniform_and_exact_count(rng):
+    """The top_k-threshold selection must pick exactly min(k, avail)
+    elements, uniformly."""
+    import jax
+
+    from cpm_tpu.utils.sampler import sample_k_from_mask
+
+    mask = jnp.asarray(rng.rand(1000) < 0.5)
+    avail = int(np.asarray(mask).sum())
+    counts = np.zeros(1000)
+    for s in range(200):
+        sel = sample_k_from_mask(mask, 64, jax.random.PRNGKey(s), k_max=64)
+        sel = np.asarray(sel)
+        assert sel.sum() == 64
+        assert not (sel & ~np.asarray(mask)).any()
+        counts += sel
+    # each masked element selected with p = 64/avail; loose 5-sigma band
+    p = 64 / avail
+    sigma = np.sqrt(200 * p * (1 - p))
+    sel_counts = counts[np.asarray(mask)]
+    assert abs(sel_counts.mean() - 200 * p) < 3 * sigma / np.sqrt(avail) * 10
+    assert (np.abs(sel_counts - 200 * p) < 5 * sigma + 1).all()
+
+    # traced k smaller than available; k=0 selects nothing
+    sel = sample_k_from_mask(mask, jnp.asarray(10), jax.random.PRNGKey(0),
+                             k_max=64)
+    assert int(np.asarray(sel).sum()) == 10
+    sel0 = sample_k_from_mask(mask, jnp.asarray(0), jax.random.PRNGKey(0),
+                              k_max=64)
+    assert int(np.asarray(sel0).sum()) == 0
+    # k exceeding available selects all available
+    tiny = jnp.asarray(np.arange(1000) < 5)
+    sel_all = sample_k_from_mask(tiny, jnp.asarray(64), jax.random.PRNGKey(1),
+                                 k_max=64)
+    assert int(np.asarray(sel_all).sum()) == 5
