@@ -126,32 +126,32 @@ def main():
             float(metrics["total_loss"])
         if trace_dir:
             jax.profiler.start_trace(trace_dir)
-        # force a host readout every step: on tunneled PJRT backends
-        # block_until_ready returns before the enqueued chain has actually
-        # executed (under-measuring 10x+); reading the loss value is the
-        # only reliable completion barrier
+        # steps chain through `state`, so ONE readout at the end reliably
+        # forces the whole sequence (block_until_ready alone returns
+        # before the enqueued chain has executed on tunneled PJRT
+        # backends). This matches the production train loop, which reads
+        # metrics only every DISPLAY_ITER — a per-step readout would add
+        # a full host RTT (~30 ms on tunneled transports) to every step
+        # and measure the link rather than the chip.
         cache_after_warmup = step_fn._cache_size()
         t0 = time.time()
-        loss_trace = []
-        step_times = []
         for _ in range(steps):
-            t1 = time.time()
             state, metrics = step_fn(state, sharded)
-            loss_trace.append(float(metrics["total_loss"]))
-            step_times.append(time.time() - t1)
+        final_loss = float(metrics["total_loss"])
         train_dt = time.time() - t0
         if trace_dir:
             jax.profiler.stop_trace()
-        assert all(np.isfinite(l) for l in loss_trace), loss_trace
+        assert np.isfinite(final_loss), final_loss
         if step_fn._cache_size() != cache_after_warmup:
             print(
                 f"# WARNING: train step retraced during timing "
-                f"({cache_after_warmup} -> {step_fn._cache_size()} entries); "
-                f"per-step times: {[round(t, 2) for t in step_times]}",
+                f"({cache_after_warmup} -> {step_fn._cache_size()} entries)",
                 flush=True,
             )
         print(
-            f"# per-step seconds: {[round(t, 3) for t in step_times]}",
+            f"# {steps} chained steps in {train_dt:.3f}s "
+            f"({train_dt / steps * 1e3:.1f} ms/step), final loss "
+            f"{final_loss:.3f}",
             flush=True,
         )
     train_ips = batch_size * steps / train_dt
@@ -190,14 +190,13 @@ def main():
     import jax.numpy as jnp
 
     def run_infer(bs, iters):
-        """Pipelined throughput + synchronous latency.
+        """Depth-2 pipelined throughput + synchronous latency.
 
         Inputs are device-resident (the eval engine's loader pipelines
-        host->device copies behind compute); all iterations are enqueued
-        async and forced by ONE combining readout — a per-iteration
-        readout would serialize a full host round trip (~30 ms on
-        tunneled transports) into every step and measure the link, not
-        the chip.
+        host->device copies behind compute). Depth-2 = dispatch batch
+        i+1, then read batch i — the eval engine's pattern
+        (engine/test.py): the readout round trip overlaps the next
+        batch's execution instead of serializing after it.
         """
         eb = synthetic_batch(
             batch_size=bs, height=height, width=width, max_gt=8,
@@ -206,18 +205,21 @@ def main():
         images = jax.device_put(eb["images"])
         sizes = jax.device_put(eb["image_sizes"])
         d = forward(eval_params, images, sizes)
-        sync_lat = None
+        float(d.scores.sum())  # force the warmup before timing
         t0 = time.time()
         for _ in range(3):
             d = forward(eval_params, images, sizes)
             float(d.scores.sum())
         sync_lat = (time.time() - t0) / 3 * 1e3
         t0 = time.time()
-        outs = [
-            forward(eval_params, images, sizes).scores.sum()
-            for _ in range(iters)
-        ]
-        total = float(jnp.stack(outs).sum())  # forces the whole chain
+        pend = None
+        total = 0.0
+        for _ in range(iters):
+            cur = forward(eval_params, images, sizes)
+            if pend is not None:
+                total += float(pend.scores.sum())
+            pend = cur
+        total += float(pend.scores.sum())
         dt = time.time() - t0
         assert np.isfinite(total)
         return bs * iters / dt, sync_lat
