@@ -107,21 +107,32 @@ class GridHead(nn.Module):
     offset_on: bool = False
 
     @nn.compact
-    def __call__(self, features, rois, roi_mask=None):
+    def __call__(self, features, rois, roi_mask=None, *, pooled=None):
+        """`pooled` [R, S, S, C] bypasses the RoI pooling (used by golden
+        parity tests to drive the conv tower + fusion against the
+        reference's torch modules, whose pooler needs the compiled _C
+        extension and cannot run on CPU)."""
         P = self.grid_points
         c = self.point_feat_channels
         cout = c * P
-        scales = (self.scales[0],) if self.finest_level_only else tuple(self.scales)
-        pooler = Pooler(
-            output_size=(self.roi_feat_size, self.roi_feat_size),
-            scales=scales,
-            sampling_ratio=self.sampling_ratio,
-        )
-        x = pooler(
-            features[:1] if self.finest_level_only else features,
-            rois,
-            roi_mask,
-        )  # [R, 14, 14, C]
+        if pooled is not None:
+            x = pooled
+        else:
+            scales = (
+                (self.scales[0],)
+                if self.finest_level_only
+                else tuple(self.scales)
+            )
+            pooler = Pooler(
+                output_size=(self.roi_feat_size, self.roi_feat_size),
+                scales=scales,
+                sampling_ratio=self.sampling_ratio,
+            )
+            x = pooler(
+                features[:1] if self.finest_level_only else features,
+                rois,
+                roi_mask,
+            )  # [R, 14, 14, C]
 
         # OFFSET_ON auxiliary branch (grid_heads.py:81-83,156-160): k3/s2
         # conv to 64ch + FC predicting 4 offsets per grid point from the

@@ -125,6 +125,29 @@ def _fc(sd, name):
     return out
 
 
+def _fc_after_pool(sd, name, pool_hw):
+    """torch Linear applied to an NCHW-flattened pooled feature -> flax
+    Dense applied to our NHWC flatten.
+
+    The reference flattens [R, C, H, W] channel-major (`x.view(R, -1)`,
+    e.g. mlp_heads.py fc6, outputs.py iou_fc1); our heads flatten the
+    NHWC pooled tensor spatial-major. The kernel's input rows must be
+    permuted (C, H, W) -> (H, W, C) or imported weights silently produce
+    garbage — caught by
+    tests/test_weight_parity.py::test_grid_head_and_output_activation_parity.
+    """
+    w = sd[f"{name}.weight"]  # [out, C*H*W]
+    h, wdim = pool_hw
+    cin = w.shape[1] // (h * wdim)
+    assert cin * h * wdim == w.shape[1], (w.shape, pool_hw)
+    k = w.reshape(w.shape[0], cin, h, wdim)
+    k = np.transpose(k, (2, 3, 1, 0)).reshape(h * wdim * cin, w.shape[0])
+    out = {"kernel": np.ascontiguousarray(k)}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
 def _gn(sd, name):
     return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
 
@@ -172,9 +195,13 @@ def import_rpn_head(sd, prefix: str = "RPN.head.") -> Dict:
     }
 
 
-def import_cls_head(sd, prefix: str) -> Dict:
-    """roi_cls_head 2-MLP (cls_heads.py:34-35)."""
-    return {"fc6": _fc(sd, f"{prefix}fc6"), "fc7": _fc(sd, f"{prefix}fc7")}
+def import_cls_head(sd, prefix: str, pool_hw=(7, 7)) -> Dict:
+    """roi_cls_head 2-MLP (cls_heads.py:34-35). fc6 consumes the flattened
+    pooled feature -> needs the NCHW->NHWC row permutation."""
+    return {
+        "fc6": _fc_after_pool(sd, f"{prefix}fc6", pool_hw),
+        "fc7": _fc(sd, f"{prefix}fc7"),
+    }
 
 
 def import_cls_output(sd, prefix: str) -> Dict:
@@ -203,7 +230,8 @@ def import_grid_head(sd, prefix: str) -> Dict:
             i += 1
     if f"{prefix}offset_conv.weight" in sd:
         out["offset_conv"] = _conv(sd, f"{prefix}offset_conv")
-        out["offset_fc"] = _fc(sd, f"{prefix}offset_fc")
+        # offset_fc consumes the flattened 7x7x64 offset-conv output
+        out["offset_fc"] = _fc_after_pool(sd, f"{prefix}offset_fc", (7, 7))
     return out
 
 
@@ -221,7 +249,8 @@ def import_grid_output(sd, prefix: str, grid_points: int = 9) -> Dict:
         "norm1": _gn(sd, f"{prefix}norm1"),
     }
     if f"{prefix}iou_fc1.weight" in sd:
-        out["iou_fc1"] = _fc(sd, f"{prefix}iou_fc1")
+        # iou_fc1 consumes the flattened 7x7 grid-tower feature
+        out["iou_fc1"] = _fc_after_pool(sd, f"{prefix}iou_fc1", (7, 7))
         out["iou_fc2"] = _fc(sd, f"{prefix}iou_fc2")
         out["iou_pred"] = _fc(sd, f"{prefix}iou_pred")
     return out

@@ -10,9 +10,11 @@ conv arithmetic (padding, stride placement, frozen-BN folding) — the
 prerequisite for reaching the 41.7 mAP target with reference-pretrained
 weights.
 
-Head parity is covered by the grouped-deconv / Linear mapping tests plus a
-full import_cpm_checkpoint shape round-trip (the reference grid head cannot
-run on CPU because its Pooler needs the compiled _C extension).
+Head parity: the grid conv tower + fusion + grouped deconvs + ISM branch
+run against the reference's own torch grid_heads/outputs modules with the
+pooler stubbed out (the only part needing the compiled _C extension), plus
+Linear-mapping tests (incl. the NCHW->NHWC flatten permutation for
+FCs-after-pooling) and a full import_cpm_checkpoint shape round-trip.
 """
 
 import sys
@@ -376,3 +378,146 @@ def test_cpm_checkpoint_import_shapes():
         assert_shapes(params[section], imported[section], section)
     # every head submodule must be covered
     assert set(imported["roi_head"]) == set(params["roi_head"])
+
+
+def test_grid_head_and_output_activation_parity():
+    """The CPM numerical core — grid conv tower + first/second-order
+    fusion + grouped deconvs + ISM branch — vs the reference's own torch
+    modules (grid_heads.py / outputs.py), pooler stubbed out (the only
+    part that needs the compiled _C extension)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    _install_reference_stubs()
+    CFG = importlib.import_module("pet.rcnn.core.config")
+    rcfg = CFG.cfg
+    saved = {
+        "GRID_POINTS": rcfg.GRID_RCNN.GRID_POINTS,
+        "CASCADE_MAPPING_ON": rcfg.GRID_RCNN.CASCADE_MAPPING_ON,
+        "NUM_CONVS": rcfg.GRID_RCNN.GRID_HEAD.NUM_CONVS,
+        "POINT_FEAT_CHANNELS": rcfg.GRID_RCNN.GRID_HEAD.POINT_FEAT_CHANNELS,
+        "FUSED_ON": rcfg.GRID_RCNN.FUSED_ON,
+        "IOU_HELPER": rcfg.GRID_RCNN.IOU_HELPER,
+        "OFFSET_ON": rcfg.GRID_RCNN.OFFSET_ON,
+        "SE_ON": rcfg.GRID_RCNN.SE_ON,
+        "STAGE_NUM": rcfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_NUM,
+    }
+    P, c, nconvs, dim_in, R = 9, 8, 2, 32, 6
+    try:
+        rcfg.GRID_RCNN.CASCADE_MAPPING_ON = False
+        rcfg.GRID_RCNN.GRID_POINTS = P
+        rcfg.GRID_RCNN.GRID_HEAD.NUM_CONVS = nconvs
+        rcfg.GRID_RCNN.GRID_HEAD.POINT_FEAT_CHANNELS = c
+        rcfg.GRID_RCNN.FUSED_ON = True
+        rcfg.GRID_RCNN.IOU_HELPER = True
+        rcfg.GRID_RCNN.OFFSET_ON = False
+        rcfg.GRID_RCNN.SE_ON = False
+        rcfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_NUM = 1  # stage 0 = last
+
+        GH = importlib.import_module(
+            "pet.rcnn.modeling.grid_rcnn.heads.grid_heads"
+        )
+        GO = importlib.import_module("pet.rcnn.modeling.grid_rcnn.outputs")
+        torch.manual_seed(1)
+        head = GH.roi_grid_head([dim_in], [0.25], stage=0)
+        output = GO.Grid_output([head.conv_out_channels], stage=0)
+        head.train()
+        output.train()  # exercise independent fused + unfused towers
+
+        rng = np.random.RandomState(3)
+        x_np = rng.randn(R, dim_in, 14, 14).astype(np.float32)
+
+        class _StubPooler(torch.nn.Module):
+            def forward(self, features, proposals):
+                return torch.from_numpy(x_np)
+
+        head.pooler = _StubPooler()
+        with torch.no_grad():
+            x_ref, x_so_ref = head(None, None)
+            hm_ref, iou_ref = output(x_ref, x_so_ref)
+        x_so_cat = torch.cat(x_so_ref, dim=1)
+
+        from cpm_tpu.modeling.roi_heads.grid_modules import (
+            GridHead, GridOutput,
+        )
+        from cpm_tpu.utils.weight_import import (
+            import_grid_head, import_grid_output,
+        )
+
+        ours_head = GridHead(
+            grid_points=P, num_convs=nconvs, point_feat_channels=c,
+            fused_on=True,
+        )
+        ours_out = GridOutput(
+            grid_points=P, point_feat_channels=c, iou_helper=True,
+            fused_on=True,
+        )
+        hp = import_grid_head(_torch_sd(head), "")
+        op = import_grid_output(_torch_sd(output), "", grid_points=P)
+        pooled = jnp.asarray(np.transpose(x_np, (0, 2, 3, 1)))
+        x_j, x_so_j, _ = ours_head.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, hp)},
+            None, None, pooled=pooled,
+        )
+        hm_j, iou_j = ours_out.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, op)},
+            x_j, x_so_j, train=True,
+        )
+
+        def chk(t, j_nhwc, name, atol=2e-4):
+            a = t.detach().numpy()
+            b = np.transpose(np.asarray(j_nhwc), (0, 3, 1, 2))
+            np.testing.assert_allclose(a, b, atol=atol, rtol=1e-4,
+                                       err_msg=name)
+
+        chk(x_ref, x_j, "tower")
+        chk(x_so_cat, x_so_j, "second-order fusion")
+        # heatmaps come back [R, P, h, w] from our GridOutput already
+        np.testing.assert_allclose(
+            hm_ref["fused"].detach().numpy(), np.asarray(hm_j["fused"]),
+            atol=5e-4, rtol=1e-4, err_msg="fused heatmap",
+        )
+        np.testing.assert_allclose(
+            hm_ref["unfused"].detach().numpy(), np.asarray(hm_j["unfused"]),
+            atol=5e-4, rtol=1e-4, err_msg="unfused heatmap",
+        )
+        np.testing.assert_allclose(
+            iou_ref.detach().numpy(), np.asarray(iou_j),
+            atol=5e-4, rtol=1e-4, err_msg="ISM iou logits",
+        )
+    finally:
+        rcfg.GRID_RCNN.GRID_POINTS = saved["GRID_POINTS"]
+        rcfg.GRID_RCNN.CASCADE_MAPPING_ON = saved["CASCADE_MAPPING_ON"]
+        rcfg.GRID_RCNN.GRID_HEAD.NUM_CONVS = saved["NUM_CONVS"]
+        rcfg.GRID_RCNN.GRID_HEAD.POINT_FEAT_CHANNELS = (
+            saved["POINT_FEAT_CHANNELS"]
+        )
+        rcfg.GRID_RCNN.FUSED_ON = saved["FUSED_ON"]
+        rcfg.GRID_RCNN.IOU_HELPER = saved["IOU_HELPER"]
+        rcfg.GRID_RCNN.OFFSET_ON = saved["OFFSET_ON"]
+        rcfg.GRID_RCNN.SE_ON = saved["SE_ON"]
+        rcfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_NUM = saved["STAGE_NUM"]
+
+
+def test_fc_after_pool_row_permutation():
+    """fc6 parity: torch applies Linear to the NCHW flatten of the pooled
+    feature, our heads flatten NHWC — _fc_after_pool must make both
+    produce identical outputs (covers cls/rescore fc6 and offset_fc)."""
+    from cpm_tpu.utils.weight_import import _fc, _fc_after_pool
+
+    rng = np.random.RandomState(5)
+    R, C, H, W, out_dim = 4, 16, 7, 7, 32
+    x = rng.randn(R, C, H, W).astype(np.float32)
+    lin = torch.nn.Linear(C * H * W, out_dim)
+    with torch.no_grad():
+        want = lin(torch.from_numpy(x.reshape(R, -1))).numpy()
+    sd = {f"fc.{k}": v.detach().numpy() for k, v in lin.state_dict().items()}
+    p = _fc_after_pool(sd, "fc", (H, W))
+    x_nhwc_flat = np.transpose(x, (0, 2, 3, 1)).reshape(R, -1)
+    got = x_nhwc_flat @ p["kernel"] + p["bias"]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # and the naive _fc import is provably WRONG for this case
+    naive = x_nhwc_flat @ _fc(sd, "fc")["kernel"] + sd["fc.bias"]
+    assert np.abs(naive - want).max() > 1e-3
