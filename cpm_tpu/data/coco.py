@@ -123,7 +123,15 @@ def build_dataset(cfg, names, is_train: bool) -> List[COCODataset]:
     datasets = []
     for name in names:
         if not catalog.contains(name):
-            raise KeyError(f"unknown dataset: {name}")
+            from cpm_tpu.data.synthetic_coco import (
+                SYNTHETIC_NAME,
+                ensure_registered,
+            )
+
+            if name == SYNTHETIC_NAME:
+                ensure_registered(cfg.DATA_DIR)
+            else:
+                raise KeyError(f"unknown dataset: {name}")
         datasets.append(
             COCODataset(
                 ann_file=catalog.get_ann_fn(cfg.DATA_DIR, name),
