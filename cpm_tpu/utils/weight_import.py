@@ -235,8 +235,13 @@ def import_grid_head(sd, prefix: str) -> Dict:
     return out
 
 
-def import_grid_output(sd, prefix: str, grid_points: int = 9) -> Dict:
-    """Grid_output (outputs.py:23-45): grouped deconvs + GN + ISM FCs."""
+def import_grid_output(sd, prefix: str, grid_points: int = None) -> Dict:
+    """Grid_output (outputs.py:23-45): grouped deconvs + GN + ISM FCs.
+
+    grid_points defaults to the checkpoint's own deconv_2 output width
+    (CPM stages can differ, e.g. GRID_NUM: (4, 9))."""
+    if grid_points is None:
+        grid_points = int(sd[f"{prefix}deconv_2.bias"].shape[0])
     out: Dict = {
         "deconv1_kernel": deconv_to_grouped_kernel(
             sd[f"{prefix}deconv_1.weight"], grid_points

@@ -218,3 +218,25 @@ def test_batched_eval_equals_batch1(tiny_cfg, tmp_path):
         )
 
     assert norm(batched) == norm(single)
+
+
+def test_synthetic_dataset_materializes(tmp_path):
+    """build_dataset('coco_debug_synthetic') self-materializes on disk."""
+    from cpm_tpu.config import get_default_cfg
+    from cpm_tpu.data import catalog
+    from cpm_tpu.data.coco import build_dataset
+    from cpm_tpu.data.synthetic_coco import SYNTHETIC_NAME
+
+    cfg = get_default_cfg()
+    cfg.DATA_DIR = str(tmp_path)
+    # fresh registration per test run
+    catalog._CATALOG.pop(SYNTHETIC_NAME, None)
+    ds = build_dataset(cfg, (SYNTHETIC_NAME,), is_train=True)[0]
+    assert len(ds) > 0
+    img = ds.load_image(0)
+    assert img.ndim == 3 and img.dtype == np.uint8
+    boxes, labels = ds.load_annotations(0)
+    assert len(boxes) > 0 and (labels >= 1).all()
+    # idempotent: second build reuses the on-disk copy
+    ds2 = build_dataset(cfg, (SYNTHETIC_NAME,), is_train=True)[0]
+    assert len(ds2) == len(ds)
