@@ -137,8 +137,8 @@ def _hat_weights(pos_ref_row, wdim):
 
 
 def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
-                     lvl_ref, b_ref, y0_ref, x0_ref, ys_ref, xs_ref,
-                     *rest):
+                     lvl_ref, b_ref, y0_ref, x0_ref, valid_ref,
+                     ys_ref, xs_ref, *rest):
     feat_refs = rest[:nlvl]
     out_ref = rest[nlvl]
     win_scratch = rest[nlvl + 1]
@@ -153,51 +153,60 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     C = win_scratch.shape[-1]
     sy, sx = ph * sr, pw * sr
 
-    def copy_branch(l):
-        h, w = level_hw[l]
-        hw_, ww_ = min(WIN, h), min(WIN, w)
+    # masked (padding) rois skip the window DMA + matmuls entirely —
+    # fixed-shape roi sets are often 40-70% padding on the train path
+    @pl.when(valid_ref[i] == 0)
+    def _zero():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
-        def do():
-            if hw_ < WIN or ww_ < WIN:
-                # stale scratch outside the window gets weight 0, but
-                # 0 * garbage must not be 0 * NaN
-                win_scratch[:] = jnp.zeros_like(win_scratch)
-            dma = pltpu.make_async_copy(
-                feat_refs[l].at[b, pl.ds(y0, hw_), pl.ds(x0, ww_), :],
-                win_scratch.at[pl.ds(0, hw_), pl.ds(0, ww_), :],
-                sem,
-            )
-            dma.start()
-            dma.wait()
+    @pl.when(valid_ref[i] != 0)
+    def _compute():
+        def copy_branch(l):
+            h, w = level_hw[l]
+            hw_, ww_ = min(WIN, h), min(WIN, w)
 
-        return do
+            def do():
+                if hw_ < WIN or ww_ < WIN:
+                    # stale scratch outside the window gets weight 0, but
+                    # 0 * garbage must not be 0 * NaN
+                    win_scratch[:] = jnp.zeros_like(win_scratch)
+                dma = pltpu.make_async_copy(
+                    feat_refs[l].at[b, pl.ds(y0, hw_), pl.ds(x0, ww_), :],
+                    win_scratch.at[pl.ds(0, hw_), pl.ds(0, ww_), :],
+                    sem,
+                )
+                dma.start()
+                dma.wait()
 
-    jax.lax.switch(lvl, [copy_branch(l) for l in range(nlvl)])
+            return do
 
-    fd = win_scratch.dtype
-    # matmuls in the feature dtype with f32 accumulation (MXU-native for
-    # bf16); keeping the window in its own dtype halves VMEM pressure
-    wy = _hat_weights(ys_ref[i], WIN).astype(fd)  # [Sy, WIN]
-    wx = _hat_weights(xs_ref[i], WIN).astype(fd)  # [Sx, WIN]
-    win = win_scratch[:]  # [WIN, WIN, C]
-    # contract y: [Sy, WIN] @ [WIN, WIN*C]
-    t = jnp.dot(
-        wy, win.reshape(WIN, WIN * C), preferred_element_type=jnp.float32
-    ).reshape(sy, WIN, C)
-    # contract x: [Sx, WIN] @ [WIN, Sy*C]
-    t = jnp.dot(
-        wx.astype(jnp.float32),
-        t.transpose(1, 0, 2).reshape(WIN, sy * C),
-        preferred_element_type=jnp.float32,
-    ).reshape(sx, sy, C)
-    vals = t.transpose(1, 0, 2)  # [Sy, Sx, C]
-    pooled = vals.reshape(ph, sr, pw, sr, C).mean(axis=(1, 3))
-    out_ref[0] = pooled.astype(out_ref.dtype)
+        jax.lax.switch(lvl, [copy_branch(l) for l in range(nlvl)])
+
+        fd = win_scratch.dtype
+        # matmuls in the feature dtype with f32 accumulation (MXU-native
+        # for bf16); the window in its own dtype halves VMEM pressure
+        wy = _hat_weights(ys_ref[i], WIN).astype(fd)  # [Sy, WIN]
+        wx = _hat_weights(xs_ref[i], WIN).astype(fd)  # [Sx, WIN]
+        win = win_scratch[:]  # [WIN, WIN, C]
+        # contract y: [Sy, WIN] @ [WIN, WIN*C]
+        t = jnp.dot(
+            wy, win.reshape(WIN, WIN * C),
+            preferred_element_type=jnp.float32,
+        ).reshape(sy, WIN, C)
+        # contract x: [Sx, WIN] @ [WIN, Sy*C]
+        t = jnp.dot(
+            wx.astype(jnp.float32),
+            t.transpose(1, 0, 2).reshape(WIN, sy * C),
+            preferred_element_type=jnp.float32,
+        ).reshape(sx, sy, C)
+        vals = t.transpose(1, 0, 2)  # [Sy, Sx, C]
+        pooled = vals.reshape(ph, sr, pw, sr, C).mean(axis=(1, 3))
+        out_ref[0] = pooled.astype(out_ref.dtype)
 
 
 def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
-                     lvl_ref, b_ref, y0_ref, x0_ref, ys_ref, xs_ref,
-                     *rest):
+                     lvl_ref, b_ref, y0_ref, x0_ref, valid_ref,
+                     ys_ref, xs_ref, *rest):
     g_ref = rest[0]                      # [1, ph, pw, C] block
     # rest[1:1+nlvl] are the aliased zero INPUT refs (unused); the
     # accumulators must be written through the OUTPUT refs
@@ -213,6 +222,8 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     x0 = pl.multiple_of(x0_ref[i], 8)
     C = win_scratch.shape[-1]
     sy, sx = ph * sr, pw * sr
+
+    valid = valid_ref[i] != 0  # masked rois contribute no gradient
 
     wy = _hat_weights(ys_ref[i], WIN)  # [Sy, WIN]
     wx = _hat_weights(xs_ref[i], WIN)
@@ -270,7 +281,9 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
 
         return do
 
-    jax.lax.switch(lvl, [acc_branch(l) for l in range(nlvl)])
+    @pl.when(valid)
+    def _accumulate():
+        jax.lax.switch(lvl, [acc_branch(l) for l in range(nlvl)])
 
 
 def pallas_supported(level_hw, output_size, sampling_ratio,
@@ -305,7 +318,9 @@ def multilevel_roi_align_pallas(
 
     Args:
       features: tuple of [B, Hl, Wl, C] NHWC maps (finest first).
-      rois_levels: (rois [R, 5], levels [R] int32).
+      rois_levels: (rois [R, 5], levels [R] int32) or
+        (rois, levels, valid [R]) — masked rois output zeros and skip
+        their window DMA + matmuls + gradient accumulation entirely.
     Returns: [R, ph, pw, C] in the feature dtype.
     """
     out, _ = _fwd(features, rois_levels, output_size, spatial_scales,
@@ -313,9 +328,19 @@ def multilevel_roi_align_pallas(
     return out
 
 
+def _unpack_rois_levels(rois_levels):
+    if len(rois_levels) == 3:
+        rois, levels, valid = rois_levels
+        valid = valid.astype(jnp.int32)
+    else:
+        rois, levels = rois_levels
+        valid = jnp.ones(rois.shape[:1], jnp.int32)
+    return rois, levels, valid
+
+
 def _fwd(features, rois_levels, output_size, spatial_scales,
          sampling_ratio, aligned, interpret):
-    rois, levels = rois_levels
+    rois, levels, valid = _unpack_rois_levels(rois_levels)
     features = tuple(features)
     ph, pw = output_size
     sr = sampling_ratio if sampling_ratio > 0 else 2
@@ -334,7 +359,7 @@ def _fwd(features, rois_levels, output_size, spatial_scales,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # lvl, batch, y0, x0
+        num_scalar_prefetch=5,  # lvl, batch, y0, x0, valid
         grid=(R,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ys_rel [R, Sy]
@@ -357,7 +382,8 @@ def _fwd(features, rois_levels, output_size, spatial_scales,
         out_shape=jax.ShapeDtypeStruct((R, ph, pw, C), features[0].dtype),
         interpret=interpret,
     )(
-        levels.astype(jnp.int32), batch, y0, x0, ys_rel, xs_rel, *padded
+        levels.astype(jnp.int32), batch, y0, x0, valid,
+        ys_rel, xs_rel, *padded
     )
     residuals = (features, rois_levels)
     return out, residuals
@@ -366,7 +392,7 @@ def _fwd(features, rois_levels, output_size, spatial_scales,
 def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
          residuals, g):
     features, rois_levels = residuals
-    rois, levels = rois_levels
+    rois, levels, valid = _unpack_rois_levels(rois_levels)
     ph, pw = output_size
     sr = sampling_ratio if sampling_ratio > 0 else 2
     nlvl = len(features)
@@ -394,7 +420,7 @@ def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
         for f, (hp, wp) in zip(features, level_hw_pad)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(R,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ys_rel [R, Sy]
@@ -425,13 +451,13 @@ def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
         input_output_aliases={
             # zeros inputs alias the grad outputs for in-place
             # accumulation; indices count the full positional args
-            # (4 prefetch + ys + xs + g = 7 before the zeros)
-            7 + i: i for i in range(nlvl)
+            # (5 prefetch + ys + xs + g = 8 before the zeros)
+            8 + i: i for i in range(nlvl)
         },
         interpret=interpret,
     )(
-        levels.astype(jnp.int32), batch, y0, x0, ys_rel, xs_rel,
-        g, *zeros,
+        levels.astype(jnp.int32), batch, y0, x0, valid,
+        ys_rel, xs_rel, g, *zeros,
     )
     grads = tuple(
         gr[:, :, : f.shape[2], :].astype(f.dtype)

@@ -156,9 +156,17 @@ class Pooler:
                     channels=int(features[0].shape[-1]),
                 )
             if use_pallas:
+                # the kernel skips masked rois (no window DMA, no matmuls,
+                # no gradient accumulation) — fixed-shape roi sets are
+                # often 40-70% padding on the train path
+                valid = (
+                    roi_mask
+                    if roi_mask is not None
+                    else jnp.ones(rois.shape[:1], bool)
+                )
                 out = multilevel_roi_align_pallas(
                     tuple(features),
-                    (rois, levels - self.k_min),
+                    (rois, levels - self.k_min, valid),
                     self.output_size,
                     self.scales,
                     self.sampling_ratio,

@@ -103,3 +103,42 @@ def test_pallas_exact_for_extreme_aspect_within_window():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_pallas_masked_rois_zero_output_and_no_gradient():
+    """Masked rois produce zero output and contribute no feature grads —
+    and valid rois are unaffected by the masked ones' (garbage) boxes."""
+    feats, rois, levels = _setup(seed=7, R=24)
+    rng = np.random.RandomState(8)
+    valid = jnp.asarray(rng.rand(24) < 0.5)
+
+    got = multilevel_roi_align_pallas(
+        tuple(feats), (rois, levels, valid), (7, 7), SCALES, 2, False, True
+    )
+    want = multilevel_roi_align(feats, rois, levels, (7, 7), SCALES, 2)
+    v = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[v], np.asarray(want)[v], rtol=1e-5, atol=1e-5
+    )
+    assert not np.asarray(got)[~v].any()
+
+    # gradients: masked rois contribute nothing
+    def loss_masked(fs):
+        out = multilevel_roi_align_pallas(
+            tuple(fs), (rois, levels, valid), (7, 7), SCALES, 2, False, True
+        )
+        return jnp.sum(out * out)
+
+    def loss_filtered(fs):
+        out = multilevel_roi_align_pallas(
+            tuple(fs), (rois, levels), (7, 7), SCALES, 2, False, True
+        )
+        out = out * valid[:, None, None, None]
+        return jnp.sum(out * out)
+
+    g_m = jax.grad(loss_masked)(feats)
+    g_f = jax.grad(loss_filtered)(feats)
+    for a, b in zip(g_m, g_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
