@@ -170,3 +170,182 @@ def test_expand_boxes_ratio1_doubles():
     b = jnp.array([[10, 10, 30, 30]], jnp.float32)
     out = np.asarray(expand_boxes(b, 1.0))
     np.testing.assert_allclose(out[0], [0, 0, 40, 40])
+
+
+def _install_ref_stubs():
+    """Make /root/reference/pet importable on CPU (apex/torchvision/_C)."""
+    import sys
+    import types
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if "apex" not in sys.modules:
+        apex = types.ModuleType("apex")
+        amp = types.ModuleType("apex.amp")
+        amp.float_function = lambda f: f
+        amp.half_function = lambda f: f
+        apex.amp = amp
+        sys.modules["apex"] = apex
+        sys.modules["apex.amp"] = amp
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvo = types.ModuleType("torchvision.ops")
+        tvo.nms = lambda *a, **k: None
+        tv.ops = tvo
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tvo
+    if "pet.lib.ops._C" not in sys.modules:
+        class _CModule(types.ModuleType):
+            def __getattr__(self, name):
+                def missing(*a, **k):
+                    raise NotImplementedError(name)
+                return missing
+        sys.modules["pet.lib.ops._C"] = _CModule("pet.lib.ops._C")
+
+
+def test_grid_targets_match_reference_torch_rasterizer():
+    """Drive the REFERENCE's own GridLossComputation.prepare_target
+    (the CPU triple-loop rasterizer, grid_cascade_rcnn/loss.py:178-257)
+    and assert our vectorized grid_targets is bit-identical."""
+    import importlib
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    _install_ref_stubs()
+
+    RL = importlib.import_module("pet.rcnn.modeling.grid_cascade_rcnn.loss")
+    CFG = importlib.import_module("pet.rcnn.core.config")
+
+    rng = np.random.RandomState(11)
+    N = 24
+    # boxes in a 300x400 image, some tiny (exercise the small-box skip),
+    # some whose gt grid points land outside the expanded roi
+    x1 = rng.rand(N) * 300
+    y1 = rng.rand(N) * 220
+    w = np.where(rng.rand(N) < 0.2, rng.rand(N) * 3,
+                 8 + rng.rand(N) * 120)
+    h = np.where(rng.rand(N) < 0.2, rng.rand(N) * 3,
+                 8 + rng.rand(N) * 90)
+    boxes = np.stack([x1, y1, x1 + w, y1 + h], 1).astype(np.float32)
+    jit = (rng.rand(N, 4) - 0.5) * 30
+    gt = (boxes + jit).astype(np.float32)
+    gt[:, 2] = np.maximum(gt[:, 2], gt[:, 0] + 1)
+    gt[:, 3] = np.maximum(gt[:, 3], gt[:, 1] + 1)
+
+    for stage, ratio in ((0, 1.0), (1, 0.5)):
+        saved = (
+            CFG.cfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_MAPPING_RATIO,
+            CFG.cfg.GRID_RCNN.TARGET_REFINE,
+        )
+        CFG.cfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_MAPPING_RATIO = (
+            (1.0, 0.5, 0.25)
+        )
+        CFG.cfg.GRID_RCNN.TARGET_REFINE = False
+        orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        try:
+            obj = RL.GridLossComputation.__new__(RL.GridLossComputation)
+            obj.stage = stage
+            obj.grid_points = 9
+            obj.grid_size = 3
+            obj.roi_feat_size = 14
+            obj.whole_map_size = 56
+            obj.pos_radius = 1
+            obj.sub_regions = RL.calc_sub_regions(9, 3, 56)
+            obj.pos_result = (
+                torch.from_numpy(boxes), torch.from_numpy(gt)
+            )
+            want = obj.prepare_target(None, None).numpy()
+        finally:
+            torch.Tensor.cuda = orig_cuda
+            (
+                CFG.cfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_MAPPING_RATIO,
+                CFG.cfg.GRID_RCNN.TARGET_REFINE,
+            ) = saved
+
+        got = np.asarray(grid_targets(
+            jnp.asarray(boxes), jnp.asarray(gt),
+            jnp.ones(N, bool), mapping_ratio=ratio,
+            grid_points=9, roi_feat_size=14, pos_radius=1,
+        ))
+        np.testing.assert_array_equal(got, want, err_msg=f"stage {stage}")
+
+
+def test_grid_decode_matches_reference_torch_get_boxes():
+    """Drive the REFERENCE's own GridPostProcessor.get_boxes (the CPU
+    heatmap->box decode, grid_cascade_rcnn/inference.py:189-279) and
+    assert our vectorized grid_decode matches."""
+    import importlib
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    _install_ref_stubs()
+
+    RI = importlib.import_module(
+        "pet.rcnn.modeling.grid_cascade_rcnn.inference"
+    )
+    CFG = importlib.import_module("pet.rcnn.core.config")
+    BB = importlib.import_module(
+        "pet.utils.data.structures.bounding_box"
+    )
+
+    rng = np.random.RandomState(13)
+    N = 32
+    img_hw = (480, 640)
+    x1 = rng.rand(N) * 500
+    y1 = rng.rand(N) * 360
+    w = 8 + rng.rand(N) * 120
+    h = 8 + rng.rand(N) * 90
+    boxes = np.stack([x1, y1, x1 + w, y1 + h], 1).astype(np.float32)
+    # modest magnitude: large logits saturate sigmoid to identical f32
+    # values and the argmax tie then breaks on torch-vs-jax ulp noise
+    logits = rng.randn(N, 9, 28, 28).astype(np.float32) * 0.5
+
+    for stage, ratio in ((0, 1.0), (2, 0.25)):
+        saved = (
+            CFG.cfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_MAPPING_RATIO,
+            CFG.cfg.GRID_RCNN.EXTEND_ROI,
+        )
+        CFG.cfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_MAPPING_RATIO = (
+            (1.0, 0.5, 0.25)
+        )
+        CFG.cfg.GRID_RCNN.EXTEND_ROI = False
+        orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        try:
+            obj = RI.GridPostProcessor.__new__(RI.GridPostProcessor)
+            obj.stage = stage
+            obj.grid_points = 9
+            obj.grid_size = 3
+            obj.whole_map_size = 56
+            obj.sub_regions = RI.calc_sub_regions(9, 3, 56)
+            proposals = BB.BoxList(
+                torch.from_numpy(boxes), (img_hw[1], img_hw[0]), mode="xyxy"
+            )
+            want = obj.get_boxes(
+                proposals, torch.from_numpy(logits), is_train=False
+            ).numpy()
+        finally:
+            torch.Tensor.cuda = orig_cuda
+            (
+                CFG.cfg.GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_MAPPING_RATIO,
+                CFG.cfg.GRID_RCNN.EXTEND_ROI,
+            ) = saved
+
+        # the reference's final clamp is a silent no-op: advanced indexing
+        # (`bbox_res[:, [0, 2]].clamp_(...)`, inference.py:275-276)
+        # clamps a COPY, so its boxes can leave the image. We implement
+        # the evident intent (clamp); apply it to the oracle output here.
+        want[:, 0::2] = want[:, 0::2].clip(0, img_hw[1] - 1)
+        want[:, 1::2] = want[:, 1::2].clip(0, img_hw[0] - 1)
+
+        sizes = np.tile(np.array([img_hw], np.int32), (N, 1))
+        got = np.asarray(grid_decode(
+            jnp.asarray(boxes), jnp.asarray(logits), jnp.asarray(sizes),
+            mapping_ratio=ratio, grid_points=9, roi_feat_size=14,
+        ))
+        np.testing.assert_allclose(
+            got, want, atol=1e-3, rtol=1e-5, err_msg=f"stage {stage}"
+        )
