@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from cpm_tpu.modeling.roi_heads.grid_ops import (
     calc_sub_regions,
     expand_boxes,
+    extend_rois,
     grid_decode,
     grid_targets,
     resize_large_rois,
@@ -349,3 +350,64 @@ def test_grid_decode_matches_reference_torch_get_boxes():
         np.testing.assert_allclose(
             got, want, atol=1e-3, rtol=1e-5, err_msg=f"stage {stage}"
         )
+
+
+def test_extend_rois_matches_reference_torch():
+    """EXTEND_ROI 2x growth + image clamp vs the reference's extend()
+    (grid_cascade_rcnn.py:293-309)."""
+    import importlib
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    _install_ref_stubs()
+    GC = importlib.import_module(
+        "pet.rcnn.modeling.grid_cascade_rcnn.grid_cascade_rcnn"
+    )
+    BB = importlib.import_module("pet.utils.data.structures.bounding_box")
+
+    rng = np.random.RandomState(17)
+    N = 40
+    img_hw = (300, 420)
+    x1 = rng.rand(N) * 380
+    y1 = rng.rand(N) * 260
+    boxes = np.stack([
+        x1, y1, x1 + rng.rand(N) * 120, y1 + rng.rand(N) * 90
+    ], 1).astype(np.float32)
+    bl = BB.BoxList(torch.from_numpy(boxes.copy()),
+                    (img_hw[1], img_hw[0]), mode="xyxy")
+    want = GC.extend([bl])[0].bbox.numpy()
+    got = np.asarray(extend_rois(
+        jnp.asarray(boxes), jnp.asarray([[img_hw[0], img_hw[1]]], np.int32)
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_resize_large_rois_reference_bug_documented():
+    """The reference's resize_boxes (inference.py:15-29) shrinks ALL
+    boxes: `_bbox = bbox` aliases, the in-place ops mutate every row, and
+    the final `bbox[l_ind] = _bbox[l_ind]` is a no-op. Assert that the
+    bug is real (so this documented deviation stays honest), and that our
+    resize_large_rois implements the evident intent: shrink only boxes
+    with area > 96^2."""
+    import importlib
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    _install_ref_stubs()
+    RI = importlib.import_module(
+        "pet.rcnn.modeling.grid_cascade_rcnn.inference"
+    )
+
+    small = np.array([[0, 0, 10, 10]], np.float32)       # area 100 << 96^2
+    large = np.array([[0, 0, 200, 200]], np.float32)
+    both = np.concatenate([small, large])
+    ref_out = RI.resize_boxes(torch.from_numpy(both.copy())).numpy()
+    # reference shrinks the SMALL box too (the bug)
+    assert not np.allclose(ref_out[0], small[0])
+    # on large boxes (the intended subset) we match the reference exactly
+    ours = np.asarray(resize_large_rois(jnp.asarray(both)))
+    np.testing.assert_allclose(ours[1], ref_out[1], atol=1e-5)
+    # and we leave small boxes alone (the intent)
+    np.testing.assert_allclose(ours[0], small[0])
