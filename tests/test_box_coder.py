@@ -60,3 +60,50 @@ def test_decode_multiclass_columns(rng):
     # each 4-column block decodes like a standalone call
     one = np.asarray(coder.decode(jnp.asarray(codes[:, 4:8]), jnp.asarray(prop)))
     np.testing.assert_allclose(dec[:, 4:8], one, rtol=1e-5)
+
+
+def test_box_coder_matches_reference_torch():
+    """Encode/decode vs the reference's own BoxCoder
+    (pet/rcnn/utils/box_coder.py, pure torch)."""
+    import importlib
+    import sys
+    import types
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    RBC = importlib.import_module("pet.rcnn.utils.box_coder")
+
+    rng = np.random.RandomState(21)
+    N = 64
+    x1 = rng.rand(N) * 500
+    y1 = rng.rand(N) * 400
+    anchors = np.stack([
+        x1, y1, x1 + 4 + rng.rand(N) * 120, y1 + 4 + rng.rand(N) * 90
+    ], 1).astype(np.float32)
+    gt = (anchors + (rng.rand(N, 4) - 0.5) * 40).astype(np.float32)
+    gt[:, 2] = np.maximum(gt[:, 2], gt[:, 0] + 2)
+    gt[:, 3] = np.maximum(gt[:, 3], gt[:, 1] + 2)
+
+    weights = (10.0, 10.0, 5.0, 5.0)
+    ref = RBC.BoxCoder(weights=weights)
+    ours = BoxCoder(weights=weights)
+
+    want_enc = ref.encode(
+        torch.from_numpy(gt), torch.from_numpy(anchors)
+    ).numpy()
+    got_enc = np.asarray(ours.encode(jnp.asarray(gt), jnp.asarray(anchors)))
+    np.testing.assert_allclose(got_enc, want_enc, rtol=1e-5, atol=1e-5)
+
+    deltas = (rng.rand(N, 4).astype(np.float32) - 0.5) * 2
+    want_dec = ref.decode(
+        torch.from_numpy(deltas), torch.from_numpy(anchors)
+    ).numpy()
+    got_dec = np.asarray(
+        ours.decode(jnp.asarray(deltas), jnp.asarray(anchors))
+    )
+    np.testing.assert_allclose(
+        got_dec, want_dec.reshape(got_dec.shape), rtol=1e-4, atol=1e-3
+    )

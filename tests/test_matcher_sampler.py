@@ -107,3 +107,39 @@ def test_sample_k_topk_path_uniform_and_exact_count(rng):
     sel_all = sample_k_from_mask(tiny, jnp.asarray(64), jax.random.PRNGKey(1),
                                  k_max=64)
     assert int(np.asarray(sel_all).sum()) == 5
+
+
+def test_matcher_matches_reference_torch():
+    """match_boxes vs the reference's own Matcher (pet/rcnn/utils/
+    matcher.py, pure torch), incl. low-quality match recovery and the
+    BELOW_LOW/BETWEEN sentinels."""
+    import importlib
+    import sys
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    RM = importlib.import_module("pet.rcnn.utils.matcher")
+
+    from cpm_tpu.utils.matcher import match_boxes
+
+    rng = np.random.RandomState(23)
+    M, N = 7, 400
+    for allow_low in (True, False):
+        for trial in range(5):
+            q = rng.rand(M, N).astype(np.float32)
+            # sprinkle exact ties and sub-threshold columns
+            q[:, : N // 4] *= 0.25
+            q[0, 5] = q[1, 5]
+            ref = RM.Matcher(0.7, 0.3, allow_low_quality_matches=allow_low)
+            want = ref(torch.from_numpy(q)).numpy()
+            got = np.asarray(match_boxes(
+                jnp.asarray(q)[None], jnp.ones((1, M), bool),
+                0.7, 0.3, allow_low_quality_matches=allow_low,
+            ))[0]
+            # sentinel semantics: ours uses the same -1/-2 coding
+            np.testing.assert_array_equal(got, want, err_msg=(
+                f"allow_low={allow_low} trial={trial}"
+            ))
