@@ -147,3 +147,35 @@ def test_rpn_head_shared_weights():
     assert logits[0].shape == (1, 8, 8, 3) and reg[1].shape == (1, 4, 4, 12)
     # single shared conv param set
     assert set(params["params"].keys()) == {"conv", "cls_logits", "bbox_pred"}
+
+
+def test_cell_anchors_match_reference_torch():
+    """generate_cell_anchors vs the reference's generate_anchors
+    (rpn/anchor_generator.py:221-291, Detectron rounding numerics)."""
+    import importlib
+    import sys
+
+    import pytest
+
+    pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    AG = importlib.import_module("pet.rcnn.modeling.rpn.anchor_generator")
+
+    # the reference uses the np.float alias removed in numpy>=1.24
+    had = hasattr(np, "float")
+    if not had:
+        np.float = float
+    try:
+        for stride, sizes in ((16, (32, 64, 128, 256, 512)), (4, (32,)),
+                              (64, (512,))):
+            for ratios in ((0.5, 1.0, 2.0), (0.25, 0.5, 1.0, 2.0, 4.0)):
+                want = AG.generate_anchors(stride, sizes, ratios).numpy()
+                got = generate_cell_anchors(stride, sizes, ratios)
+                np.testing.assert_allclose(
+                    got, want, atol=1e-4,
+                    err_msg=f"stride={stride} sizes={sizes} ratios={ratios}",
+                )
+    finally:
+        if not had:
+            del np.float
