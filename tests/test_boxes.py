@@ -71,3 +71,35 @@ def test_remove_small():
     b = jnp.asarray([[0, 0, 1, 1], [0, 0, 10, 10]], jnp.float32)
     m = np.asarray(remove_small_boxes_mask(b, min_size=5.0))
     assert list(m) == [False, True]
+
+
+def test_box_iou_matches_reference_boxlist_iou():
+    """box_iou (legacy +1 convention) vs the reference's boxlist_iou
+    (pet/utils/data/structures/boxlist_ops.py, pure torch)."""
+    import importlib
+    import sys
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from ref_oracle import install_reference_stubs
+
+    install_reference_stubs()
+    BO = importlib.import_module("pet.utils.data.structures.boxlist_ops")
+    BB = importlib.import_module("pet.utils.data.structures.bounding_box")
+
+    rng = np.random.RandomState(29)
+    M, N = 13, 57
+    def rand_boxes(n):
+        x1 = rng.rand(n) * 300
+        y1 = rng.rand(n) * 200
+        return np.stack([
+            x1, y1, x1 + rng.rand(n) * 120, y1 + rng.rand(n) * 90
+        ], 1).astype(np.float32)
+    a, b = rand_boxes(M), rand_boxes(N)
+    bla = BB.BoxList(torch.from_numpy(a), (400, 300), mode="xyxy")
+    blb = BB.BoxList(torch.from_numpy(b), (400, 300), mode="xyxy")
+    want = BO.boxlist_iou(bla, blb).numpy()
+    got = np.asarray(box_iou(jnp.asarray(a), jnp.asarray(b),
+                             legacy_plus1=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
