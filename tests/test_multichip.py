@@ -76,3 +76,53 @@ def test_train_step_does_not_retrace():
     state, _ = step(state, batch)
     state, _ = step(state, batch)
     assert step._cache_size() == 1, "train step retraced on state round-trip"
+
+
+def test_dp_sharded_step_matches_single_device():
+    """8-device DP vs single-device on the same global batch.
+
+    EXACT equality is not expected — two couplings make the local batch
+    semantically load-bearing, exactly as in the reference's DDP:
+    the Detectron per-*batch* train-time FPN proposal top-k
+    (rpn/inference.py:152-163) spans only the local shard, and loss
+    normalizers (true sampled counts) are per-shard before the gradient
+    mean. The test asserts the losses and updated params agree closely
+    (sub-percent at random init) — catching real sharding bugs (wrong
+    axis, missing all-reduce, double-counting) without overclaiming
+    bit-parity."""
+    cfg = _tiny_cpm_cfg()
+    batch = synthetic_batch(
+        batch_size=8, height=64, width=64, max_gt=4,
+        num_classes=cfg.MODEL.NUM_CLASSES, seed=3,
+    )
+    model, tx, state0 = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch
+    )
+    step = make_train_step(cfg, model, tx)
+
+    import jax.numpy as jnp
+
+    results = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        step_fn = jit_train_step(step, mesh)
+        # the train step donates its input state; clone per run
+        state_in = jax.tree_util.tree_map(jnp.array, state0)
+        with mesh:
+            state, metrics = step_fn(state_in, shard_batch(batch, mesh))
+            results[n] = (
+                {k: float(v) for k, v in metrics.items()},
+                jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(
+                        lambda x: np.asarray(x), state.params
+                    )
+                ),
+            )
+    m1, p1 = results[1]
+    m8, p8 = results[8]
+    for k in m1:
+        assert abs(m1[k] - m8[k]) <= 2e-2 * max(1.0, abs(m1[k])), (
+            k, m1[k], m8[k]
+        )
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(a, b, rtol=5e-2, atol=1e-4)
