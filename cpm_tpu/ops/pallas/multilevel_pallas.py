@@ -153,6 +153,15 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     C = win_scratch.shape[-1]
     sy, sx = ph * sr, pw * sr
 
+    # scratch VMEM is UNDEFINED at kernel start (can hold NaN bit
+    # patterns on hardware, though interpret mode zeroes it); rows the
+    # dynamic slab skip never writes must start at 0 so their zero
+    # weights actually produce zeros. After the first step, stale rows
+    # hold a previous roi's (finite) features — also safe under weight 0.
+    @pl.when(i == 0)
+    def _init_scratch():
+        win_scratch[:] = jnp.zeros_like(win_scratch)
+
     # masked (padding) rois skip the window DMA + matmuls entirely —
     # fixed-shape roi sets are often 40-70% padding on the train path
     @pl.when(valid_ref[i] == 0)
@@ -161,6 +170,15 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
 
     @pl.when(valid_ref[i] != 0)
     def _compute():
+        # rows actually touched by this roi's samples: the hat weight of
+        # sample position p covers rows [floor(p), floor(p)+1], so rows
+        # >= max(ys)+2 have weight 0 for every sample. Skipping their DMA
+        # slabs saves most of the 64-row window traffic for typical rois
+        # (a level-k roi spans ~14-28 cells); the stale scratch rows they
+        # leave behind are multiplied by 0 (never NaN: features are
+        # finite).
+        need_rows = jnp.max(ys_ref[i]).astype(jnp.int32) + 2
+
         def copy_branch(l):
             h, w = level_hw[l]
             hw_, ww_ = min(WIN, h), min(WIN, w)
@@ -170,13 +188,23 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                     # stale scratch outside the window gets weight 0, but
                     # 0 * garbage must not be 0 * NaN
                     win_scratch[:] = jnp.zeros_like(win_scratch)
-                dma = pltpu.make_async_copy(
-                    feat_refs[l].at[b, pl.ds(y0, hw_), pl.ds(x0, ww_), :],
-                    win_scratch.at[pl.ds(0, hw_), pl.ds(0, ww_), :],
-                    sem,
-                )
-                dma.start()
-                dma.wait()
+                slab = 16
+                for s in range(0, hw_, slab):
+                    rows = min(slab, hw_ - s)
+
+                    @pl.when(s < need_rows)
+                    def _copy(s=s, rows=rows):
+                        dma = pltpu.make_async_copy(
+                            feat_refs[l].at[
+                                b, pl.ds(y0 + s, rows), pl.ds(x0, ww_), :
+                            ],
+                            win_scratch.at[
+                                pl.ds(s, rows), pl.ds(0, ww_), :
+                            ],
+                            sem,
+                        )
+                        dma.start()
+                        dma.wait()
 
             return do
 
@@ -224,6 +252,9 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     sy, sx = ph * sr, pw * sr
 
     valid = valid_ref[i] != 0  # masked rois contribute no gradient
+    # rows beyond every sample's hat support have zero weight -> their
+    # gradient slab is zero and the read-modify-write can be skipped
+    need_rows = jnp.max(ys_ref[i]).astype(jnp.int32) + 2
 
     wy = _hat_weights(ys_ref[i], WIN)  # [Sy, WIN]
     wx = _hat_weights(xs_ref[i], WIN)
@@ -245,38 +276,44 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
         slab = win_scratch.shape[0]
 
         def do():
-            # y-slab loop keeps the f32 window out of VMEM all at once;
-            # sequential grid -> read-modify-write is race-free on TPU
+            # y-slab loop keeps the accumulator window out of VMEM all at
+            # once; sequential grid -> read-modify-write is race-free on
+            # TPU. Slabs beyond need_rows carry zero gradient and skip
+            # the RMW entirely.
             ys0 = 0
             while ys0 < hw_:
                 rows = min(slab, hw_ - ys0)
-                dma_in = pltpu.make_async_copy(
-                    grad_refs[l].at[
-                        b, pl.ds(y0 + ys0, rows), pl.ds(x0, ww_), :
-                    ],
-                    win_scratch.at[pl.ds(0, rows), pl.ds(0, ww_), :],
-                    sem,
-                )
-                dma_in.start()
-                dma_in.wait()
-                # gw rows [ys0:ys0+rows] = wy^T[rows, sy] @ B2
-                gw_slab = jnp.dot(
-                    wy[:, ys0:ys0 + rows].T, b2,
-                    preferred_element_type=jnp.float32,
-                ).reshape(rows, WIN, C)
-                win_scratch[pl.ds(0, rows), pl.ds(0, ww_), :] = (
-                    win_scratch[pl.ds(0, rows), pl.ds(0, ww_), :]
-                    + gw_slab[:, :ww_].astype(win_scratch.dtype)
-                )
-                dma_out = pltpu.make_async_copy(
-                    win_scratch.at[pl.ds(0, rows), pl.ds(0, ww_), :],
-                    grad_refs[l].at[
-                        b, pl.ds(y0 + ys0, rows), pl.ds(x0, ww_), :
-                    ],
-                    sem,
-                )
-                dma_out.start()
-                dma_out.wait()
+
+                @pl.when(ys0 < need_rows)
+                def _rmw(ys0=ys0, rows=rows):
+                    dma_in = pltpu.make_async_copy(
+                        grad_refs[l].at[
+                            b, pl.ds(y0 + ys0, rows), pl.ds(x0, ww_), :
+                        ],
+                        win_scratch.at[pl.ds(0, rows), pl.ds(0, ww_), :],
+                        sem,
+                    )
+                    dma_in.start()
+                    dma_in.wait()
+                    # gw rows [ys0:ys0+rows] = wy^T[rows, sy] @ B2
+                    gw_slab = jnp.dot(
+                        wy[:, ys0:ys0 + rows].T, b2,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(rows, WIN, C)
+                    win_scratch[pl.ds(0, rows), pl.ds(0, ww_), :] = (
+                        win_scratch[pl.ds(0, rows), pl.ds(0, ww_), :]
+                        + gw_slab[:, :ww_].astype(win_scratch.dtype)
+                    )
+                    dma_out = pltpu.make_async_copy(
+                        win_scratch.at[pl.ds(0, rows), pl.ds(0, ww_), :],
+                        grad_refs[l].at[
+                            b, pl.ds(y0 + ys0, rows), pl.ds(x0, ww_), :
+                        ],
+                        sem,
+                    )
+                    dma_out.start()
+                    dma_out.wait()
+
                 ys0 += rows
 
         return do
