@@ -170,14 +170,15 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
 
     @pl.when(valid_ref[i] != 0)
     def _compute():
-        # rows actually touched by this roi's samples: the hat weight of
-        # sample position p covers rows [floor(p), floor(p)+1], so rows
-        # >= max(ys)+2 have weight 0 for every sample. Skipping their DMA
-        # slabs saves most of the 64-row window traffic for typical rois
-        # (a level-k roi spans ~14-28 cells); the stale scratch rows they
-        # leave behind are multiplied by 0 (never NaN: features are
-        # finite).
+        # rows/cols actually touched by this roi's samples: the hat
+        # weight of sample position p covers cells [floor(p), floor(p)+1],
+        # so rows >= max(ys)+2 / cols >= max(xs)+2 have weight 0 for
+        # every sample. Skipping their DMA tiles saves most of the 64x64
+        # window traffic for typical rois (a level-k roi spans ~14-28
+        # cells); the stale scratch they leave behind is multiplied by 0
+        # (never NaN after the first-step zero fill: features are finite).
         need_rows = jnp.max(ys_ref[i]).astype(jnp.int32) + 2
+        need_cols = jnp.max(xs_ref[i]).astype(jnp.int32) + 2
 
         def copy_branch(l):
             h, w = level_hw[l]
@@ -189,22 +190,26 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                     # 0 * garbage must not be 0 * NaN
                     win_scratch[:] = jnp.zeros_like(win_scratch)
                 slab = 16
+                half_w = 32
                 for s in range(0, hw_, slab):
                     rows = min(slab, hw_ - s)
+                    for c in range(0, ww_, half_w):
+                        cols = min(half_w, ww_ - c)
 
-                    @pl.when(s < need_rows)
-                    def _copy(s=s, rows=rows):
-                        dma = pltpu.make_async_copy(
-                            feat_refs[l].at[
-                                b, pl.ds(y0 + s, rows), pl.ds(x0, ww_), :
-                            ],
-                            win_scratch.at[
-                                pl.ds(s, rows), pl.ds(0, ww_), :
-                            ],
-                            sem,
-                        )
-                        dma.start()
-                        dma.wait()
+                        @pl.when((s < need_rows) & (c < need_cols))
+                        def _copy(s=s, rows=rows, c=c, cols=cols):
+                            dma = pltpu.make_async_copy(
+                                feat_refs[l].at[
+                                    b, pl.ds(y0 + s, rows),
+                                    pl.ds(x0 + c, cols), :
+                                ],
+                                win_scratch.at[
+                                    pl.ds(s, rows), pl.ds(c, cols), :
+                                ],
+                                sem,
+                            )
+                            dma.start()
+                            dma.wait()
 
             return do
 
@@ -252,9 +257,10 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     sy, sx = ph * sr, pw * sr
 
     valid = valid_ref[i] != 0  # masked rois contribute no gradient
-    # rows beyond every sample's hat support have zero weight -> their
-    # gradient slab is zero and the read-modify-write can be skipped
+    # rows/cols beyond every sample's hat support have zero weight ->
+    # their gradient tile is zero and the read-modify-write is skipped
     need_rows = jnp.max(ys_ref[i]).astype(jnp.int32) + 2
+    need_cols = jnp.max(xs_ref[i]).astype(jnp.int32) + 2
 
     wy = _hat_weights(ys_ref[i], WIN)  # [Sy, WIN]
     wx = _hat_weights(xs_ref[i], WIN)
@@ -286,33 +292,50 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
 
                 @pl.when(ys0 < need_rows)
                 def _rmw(ys0=ys0, rows=rows):
-                    dma_in = pltpu.make_async_copy(
-                        grad_refs[l].at[
-                            b, pl.ds(y0 + ys0, rows), pl.ds(x0, ww_), :
-                        ],
-                        win_scratch.at[pl.ds(0, rows), pl.ds(0, ww_), :],
-                        sem,
-                    )
-                    dma_in.start()
-                    dma_in.wait()
                     # gw rows [ys0:ys0+rows] = wy^T[rows, sy] @ B2
                     gw_slab = jnp.dot(
                         wy[:, ys0:ys0 + rows].T, b2,
                         preferred_element_type=jnp.float32,
                     ).reshape(rows, WIN, C)
-                    win_scratch[pl.ds(0, rows), pl.ds(0, ww_), :] = (
-                        win_scratch[pl.ds(0, rows), pl.ds(0, ww_), :]
-                        + gw_slab[:, :ww_].astype(win_scratch.dtype)
-                    )
-                    dma_out = pltpu.make_async_copy(
-                        win_scratch.at[pl.ds(0, rows), pl.ds(0, ww_), :],
-                        grad_refs[l].at[
-                            b, pl.ds(y0 + ys0, rows), pl.ds(x0, ww_), :
-                        ],
-                        sem,
-                    )
-                    dma_out.start()
-                    dma_out.wait()
+                    for c in range(0, ww_, 32):
+                        cols = min(32, ww_ - c)
+
+                        @pl.when(c < need_cols)
+                        def _half(c=c, cols=cols):
+                            dma_in = pltpu.make_async_copy(
+                                grad_refs[l].at[
+                                    b, pl.ds(y0 + ys0, rows),
+                                    pl.ds(x0 + c, cols), :
+                                ],
+                                win_scratch.at[
+                                    pl.ds(0, rows), pl.ds(c, cols), :
+                                ],
+                                sem,
+                            )
+                            dma_in.start()
+                            dma_in.wait()
+                            win_scratch[
+                                pl.ds(0, rows), pl.ds(c, cols), :
+                            ] = (
+                                win_scratch[
+                                    pl.ds(0, rows), pl.ds(c, cols), :
+                                ]
+                                + gw_slab[:, c:c + cols].astype(
+                                    win_scratch.dtype
+                                )
+                            )
+                            dma_out = pltpu.make_async_copy(
+                                win_scratch.at[
+                                    pl.ds(0, rows), pl.ds(c, cols), :
+                                ],
+                                grad_refs[l].at[
+                                    b, pl.ds(y0 + ys0, rows),
+                                    pl.ds(x0 + c, cols), :
+                                ],
+                                sem,
+                            )
+                            dma_out.start()
+                            dma_out.wait()
 
                 ys0 += rows
 
