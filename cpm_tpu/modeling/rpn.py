@@ -356,9 +356,16 @@ def rpn_losses(
     visibility = layout.visibility(image_sizes)  # [B, N]
     discard = (~visibility) | (matches == BETWEEN_THRESHOLDS)
 
-    matched_gt = jnp.take_along_axis(
-        gt_boxes, jnp.maximum(matches, 0)[..., None], axis=1
-    )  # [B, N, 4]
+    # matched GT per anchor as a one-hot matmul instead of a row gather:
+    # the [B, 280k] gather costs ~3 ms/step as a kScatter-class custom
+    # fusion on TPU, while the [B, N, M] @ [B, M, 4] contraction rides
+    # the MXU (gt_boxes carries no gradient, so no transposed scatter)
+    M = gt_boxes.shape[1]
+    onehot = (
+        jnp.maximum(matches, 0)[..., None]
+        == jnp.arange(M, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    matched_gt = jnp.einsum("bnm,bmc->bnc", onehot, gt_boxes)  # [B, N, 4]
     reg_targets = box_coder.encode(matched_gt, anchors[None])
 
     pos_mask = (labels > 0.5) & ~discard
