@@ -53,7 +53,9 @@ def _resolve_backend() -> str:
     import jax
 
     try:
-        if jax.default_backend() not in ("cpu",):
+        # the Mosaic kernel only lowers on TPU — on gpu/metal/cpu the
+        # documented contract is the gather formulation
+        if jax.default_backend() == "tpu":
             return "pallas"
     except Exception:
         pass

@@ -8,6 +8,8 @@ over random priorities so shapes stay static under jit. Loss normalization
 must divide by the *true* selected counts (see SURVEY.md §7.3).
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -42,18 +44,22 @@ def sample_k_from_mask(mask: jnp.ndarray, k, key, k_max=None) -> jnp.ndarray:
         kk = min(int(k_max), mask.shape[-1])
         if kk <= 0:
             return jnp.zeros_like(mask)
-        smallest = -jax.lax.top_k(-priority, kk)[0]  # ascending [..., kk]
-        idx = jnp.clip(jnp.asarray(k) - 1, 0, kk - 1).astype(jnp.int32)
-        if jnp.ndim(idx) > 0:
-            idx = idx[..., None]
-        idx = jnp.broadcast_to(idx, smallest.shape[:-1] + (1,))
-        kth = jnp.take_along_axis(smallest, idx, axis=-1)[..., 0]
-        # kth == inf when fewer than k masked -> selects all available
-        sel = mask & (priority <= kth[..., None])
-        nonzero = jnp.asarray(k) > 0
-        if jnp.ndim(nonzero) > 0:
-            nonzero = nonzero[..., None]
-        return sel & nonzero
+        n = mask.shape[-1]
+        # Exactly-min(k, sum(mask)) selection: scatter the first k of the
+        # top_k *indices* (distinct positions by construction) instead of
+        # thresholding `priority <= kth` — float32 noise over ~280k anchors
+        # ties at the kth value on ~3% of RPN steps, which would overshoot k.
+        vals, idx = jax.lax.top_k(-priority, kk)  # ascending priority
+        k_arr = jnp.broadcast_to(jnp.asarray(k), mask.shape[:-1])
+        flat_rows = math.prod(mask.shape[:-1]) if mask.ndim > 1 else 1
+        vals2 = vals.reshape(flat_rows, kk)
+        idx2 = idx.reshape(flat_rows, kk)
+        take = (
+            jnp.arange(kk)[None, :] < k_arr.reshape(flat_rows)[:, None]
+        ) & jnp.isfinite(vals2)  # -inf = unmasked source
+        rows = jnp.arange(flat_rows)[:, None]
+        sel = jnp.zeros((flat_rows, n), bool).at[rows, idx2].set(take)
+        return sel.reshape(mask.shape)
     rank = _random_rank(mask, key)
     if jnp.ndim(k) > 0:
         k = k[..., None]
