@@ -2,8 +2,8 @@
 
 Parity with /root/reference/pet/utils/data/transforms/transforms.py:11-111
 and the fixed composition order in pet/rcnn/datasets/transform.py:37-45:
-Resize (shortest side to a randomly chosen TRAIN.SCALES entry, capped by
-MAX_SIZE) -> RandomHorizontalFlip -> ColorJitter (off by default) ->
+ColorJitter (off by default) -> Resize (shortest side to a randomly chosen
+TRAIN.SCALES entry, capped by MAX_SIZE) -> RandomHorizontalFlip ->
 ToTensor -> Normalize (RGB->BGR, x255, subtract caffe pixel means).
 
 Box semantics preserve the reference's integer-coordinate conventions:
@@ -75,6 +75,99 @@ def hflip_image_and_boxes(image: np.ndarray, boxes: np.ndarray):
     return np.ascontiguousarray(image), out
 
 
+def adjust_brightness(image: np.ndarray, factor: float) -> np.ndarray:
+    """uint8 RGB brightness (torchvision 0.6 F.adjust_brightness =
+    PIL ImageEnhance.Brightness, the reference's backend)."""
+    from PIL import ImageEnhance
+
+    pil = ImageEnhance.Brightness(Image.fromarray(image)).enhance(factor)
+    return np.asarray(pil)
+
+
+def adjust_contrast(image: np.ndarray, factor: float) -> np.ndarray:
+    """uint8 RGB contrast (PIL ImageEnhance.Contrast: blend with the
+    rounded mean of the L-converted image)."""
+    from PIL import ImageEnhance
+
+    pil = ImageEnhance.Contrast(Image.fromarray(image)).enhance(factor)
+    return np.asarray(pil)
+
+
+def adjust_saturation(image: np.ndarray, factor: float) -> np.ndarray:
+    """uint8 RGB saturation (PIL ImageEnhance.Color: blend with L
+    grayscale)."""
+    from PIL import ImageEnhance
+
+    pil = ImageEnhance.Color(Image.fromarray(image)).enhance(factor)
+    return np.asarray(pil)
+
+
+def adjust_hue(image: np.ndarray, factor: float) -> np.ndarray:
+    """uint8 RGB hue shift by factor in [-0.5, 0.5] (torchvision 0.6
+    F.adjust_hue: HSV roundtrip with uint8-wrapping H shift)."""
+    if not -0.5 <= factor <= 0.5:
+        raise ValueError(f"hue factor {factor} not in [-0.5, 0.5]")
+    pil = Image.fromarray(image)
+    h, s, v = pil.convert("HSV").split()
+    np_h = np.asarray(h, dtype=np.uint8)
+    # uint8 wraparound shift, matching torchvision's `np_h += uint8(...)`
+    # (old-numpy modular float->uint8 cast: truncate toward zero, mod 256)
+    shift = int(factor * 255) % 256
+    np_h = (np_h.astype(np.int16) + shift).astype(np.uint8)
+    h = Image.fromarray(np_h, "L")
+    return np.asarray(Image.merge("HSV", (h, s, v)).convert("RGB"))
+
+
+class ColorJitter:
+    """Photometric jitter matching torchvision 0.6 ColorJitter, the
+    backend of the reference's T.ColorJitter
+    (/root/reference/pet/utils/data/transforms/transforms.py:78-93,
+    driven by cfg.TRAIN.BRIGHTNESS/CONTRAST/SATURATION/HUE and composed
+    FIRST, before Resize — pet/rcnn/datasets/transform.py:30-45).
+
+    Scalar args b/c/s sample a factor uniformly from [max(0,1-v), 1+v];
+    hue from [-v, v]. A 0.0 arg disables that op (torchvision's
+    _check_input -> None). The enabled ops run in a random order.
+    """
+
+    _OPS = (
+        ("brightness", adjust_brightness),
+        ("contrast", adjust_contrast),
+        ("saturation", adjust_saturation),
+        ("hue", adjust_hue),
+    )
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0,
+                 hue=0.0):
+        self.brightness = float(brightness)
+        self.contrast = float(contrast)
+        self.saturation = float(saturation)
+        self.hue = float(hue)
+        if not 0.0 <= self.hue <= 0.5:
+            raise ValueError(f"TRAIN.HUE must be in [0, 0.5], got {hue}")
+        self.enabled = any(
+            getattr(self, name) > 0 for name, _ in self._OPS
+        )
+
+    def __call__(self, image: np.ndarray, rng: np.random.RandomState):
+        if not self.enabled:
+            return image
+        ops = []
+        for name, fn in self._OPS:
+            v = getattr(self, name)
+            if v <= 0:
+                continue
+            if name == "hue":
+                factor = rng.uniform(-v, v)
+            else:
+                factor = rng.uniform(max(0.0, 1.0 - v), 1.0 + v)
+            ops.append((fn, factor))
+        for i in rng.permutation(len(ops)):
+            fn, factor = ops[i]
+            image = fn(image, factor)
+        return image
+
+
 def normalize_image(
     image: np.ndarray,
     pixel_means: Sequence[float],
@@ -113,12 +206,18 @@ class TrainTransform:
         self.scales = tuple(cfg.TRAIN.SCALES)
         self.max_size = cfg.TRAIN.MAX_SIZE
         self.flip_prob = 0.5  # RandomHorizontalFlip(0.5), transform.py:37-45
+        self.color_jitter = ColorJitter(
+            cfg.TRAIN.BRIGHTNESS, cfg.TRAIN.CONTRAST,
+            cfg.TRAIN.SATURATION, cfg.TRAIN.HUE,
+        )
         self.pixel_means = tuple(cfg.PIXEL_MEANS)
         self.pixel_stds = tuple(cfg.PIXEL_STDS)
         self.to_bgr255 = bool(cfg.TO_BGR255)
         self.normalize = normalize
 
     def __call__(self, image, boxes, rng: np.random.RandomState):
+        if self.color_jitter.enabled:
+            image = self.color_jitter(image, rng)
         shortest = self.scales[rng.randint(len(self.scales))]
         image, boxes, size = resize_image_and_boxes(
             image, boxes, shortest, self.max_size
