@@ -429,11 +429,50 @@ def _coerce(value, default, full_key):
     )
 
 
+# --------------------------------------------------------------------------
+# Deprecated / renamed option machinery (reference config.py:1284-1297):
+# deprecated keys in old YAMLs are warned about and skipped; renamed keys
+# raise with the new spelling instead of a bare "non-existent key".
+# --------------------------------------------------------------------------
+_DEPRECATED_KEYS = set()
+_RENAMED_KEYS = {
+    "EXAMPLE.RENAMED.KEY": "EXAMPLE.KEY",
+    "PIXEL_MEAN": "PIXEL_MEANS",
+    "PIXEL_STD": "PIXEL_STDS",
+}
+
+
+def _key_is_deprecated(full_key: str) -> bool:
+    if full_key in _DEPRECATED_KEYS:
+        import warnings
+
+        warnings.warn(
+            f"Deprecated config key (ignoring): {full_key}", stacklevel=3
+        )
+        return True
+    return False
+
+
+def _check_key_renamed(full_key: str):
+    if full_key in _RENAMED_KEYS:
+        new = _RENAMED_KEYS[full_key]
+        msg = f"Key {full_key} was renamed to {new}"
+        if isinstance(new, tuple):
+            msg = (
+                f"Key {full_key} was renamed to {new[0]}; "
+                f"note: {new[1]}"
+            )
+        raise KeyError(msg + "; please update your config")
+
+
 def _merge_into(src, dst, stack=None):
     assert isinstance(src, dict) and isinstance(dst, AttrDict)
     for k, v_raw in src.items():
         full_key = ".".join((stack or []) + [k])
         if k not in dst:
+            if _key_is_deprecated(full_key):
+                continue
+            _check_key_renamed(full_key)
             raise KeyError(f"Non-existent config key: {full_key}")
         v = _decode_value(v_raw)
         if isinstance(v, AttrDict) or isinstance(v, dict):
@@ -463,6 +502,9 @@ def merge_cfg_from_list(opts, target=None):
     target = cfg if target is None else target
     assert len(opts) % 2 == 0, "opts must be KEY VALUE pairs"
     for full_key, v_raw in zip(opts[0::2], opts[1::2]):
+        if _key_is_deprecated(full_key):
+            continue
+        _check_key_renamed(full_key)
         d = target
         parts = full_key.split(".")
         for p in parts[:-1]:
@@ -477,15 +519,73 @@ def merge_cfg_from_list(opts, target=None):
     return target
 
 
+def _check(ok, msg):
+    if not ok:
+        raise ValueError(f"config error: {msg}")
+
+
 def assert_and_infer_cfg(target=None, make_immutable=True):
-    """Validate derived invariants and freeze the config."""
-    target = cfg if target is None else target
-    if target.MODEL.GRID_ON:
+    """Validate cross-key invariants and freeze the config.
+
+    Fails incoherent configs at load time with a named key instead of
+    deep inside tracing (broader than the reference's
+    assert_and_infer_cfg, config.py:1300-1320, which only freezes).
+    """
+    t = cfg if target is None else target
+    if t.MODEL.GRID_ON:
         # Grid heads operate in class-agnostic regression space
-        target.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+        t.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+
+    _check(t.MODEL.NUM_CLASSES >= 2,
+           f"MODEL.NUM_CLASSES must be >= 2 (bg + fg), got {t.MODEL.NUM_CLASSES}")
+    _check(not (t.MODEL.FASTER_RCNN and t.MODEL.GRID_ON),
+           "MODEL.FASTER_RCNN and MODEL.GRID_ON are mutually exclusive "
+           "(model_builder.py:50-59 dispatch)")
+    _check(t.MODEL.RPN_ONLY or t.MODEL.FASTER_RCNN or t.MODEL.GRID_ON,
+           "no RoI family: set one of MODEL.RPN_ONLY / FASTER_RCNN / GRID_ON")
+    _check(not t.MODEL.CASCADE_ON or t.MODEL.FASTER_RCNN,
+           "MODEL.CASCADE_ON requires MODEL.FASTER_RCNN")
+    _check(not t.GRID_RCNN.CASCADE_MAPPING_ON or t.MODEL.GRID_ON,
+           "GRID_RCNN.CASCADE_MAPPING_ON requires MODEL.GRID_ON")
+
+    if t.MODEL.FPN_ON:
+        _check(len(t.RPN.ANCHOR_STRIDE) > 1,
+               "FPN RPN needs per-level RPN.ANCHOR_STRIDE (one per level)")
+        _check(t.FPN.ROI_MIN_LEVEL <= t.FPN.ROI_MAX_LEVEL,
+               "FPN.ROI_MIN_LEVEL must be <= FPN.ROI_MAX_LEVEL")
+        _check(t.FPN.RPN_MIN_LEVEL <= t.FPN.RPN_MAX_LEVEL,
+               "FPN.RPN_MIN_LEVEL must be <= FPN.RPN_MAX_LEVEL")
+    else:
+        _check(len(t.RPN.ANCHOR_STRIDE) == 1,
+               "non-FPN RPN uses a single RPN.ANCHOR_STRIDE")
+
+    cm = t.GRID_RCNN.CASCADE_MAPPING_OPTION
+    _check(len(cm.STAGE_WEIGHTS) >= cm.STAGE_NUM,
+           "GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_WEIGHTS shorter than STAGE_NUM")
+    _check(len(cm.STAGE_MAPPING_RATIO) >= cm.STAGE_NUM,
+           "GRID_RCNN.CASCADE_MAPPING_OPTION.STAGE_MAPPING_RATIO shorter than STAGE_NUM")
+    _check(1 <= cm.TEST_STAGE <= cm.STAGE_NUM,
+           "GRID_RCNN.CASCADE_MAPPING_OPTION.TEST_STAGE out of range")
+    _check(len(t.CASCADE_RCNN.BBOX_REG_WEIGHTS) >= t.CASCADE_RCNN.NUM_STAGE,
+           "CASCADE_RCNN.BBOX_REG_WEIGHTS shorter than NUM_STAGE")
+
+    _check(t.TEST.SOFT_NMS.METHOD in ("linear", "gaussian", "hard"),
+           f"TEST.SOFT_NMS.METHOD invalid: {t.TEST.SOFT_NMS.METHOD}")
+    _check(t.TEST.BBOX_VOTE.SCORING_METHOD in
+           ("ID", "AVG", "IOU_AVG", "GENERALIZED_AVG", "QUASI_SUM"),
+           f"TEST.BBOX_VOTE.SCORING_METHOD invalid: {t.TEST.BBOX_VOTE.SCORING_METHOD}")
+    _check(t.TPU.POOLER_KERNEL in ("auto", "pallas", "gather"),
+           f"TPU.POOLER_KERNEL invalid: {t.TPU.POOLER_KERNEL}")
+    _check(len(t.TRAIN.SCALES) > 0 and all(s > 0 for s in t.TRAIN.SCALES),
+           "TRAIN.SCALES must be non-empty positive")
+    _check(0.0 < t.FAST_RCNN.POSITIVE_FRACTION <= 1.0,
+           "FAST_RCNN.POSITIVE_FRACTION must be in (0, 1]")
+    _check(t.RPN.FG_IOU_THRESHOLD >= t.RPN.BG_IOU_THRESHOLD,
+           "RPN.FG_IOU_THRESHOLD must be >= RPN.BG_IOU_THRESHOLD")
+
     if make_immutable:
-        target.immutable(True)
-    return target
+        t.immutable(True)
+    return t
 
 
 class _CfgNS(types.SimpleNamespace):
