@@ -227,6 +227,41 @@ def run_inference_on_dataset(
     tta = len(passes) > 1
     n_done = 0
 
+    # eval-time visualization hook (reference test_engine.py:171-187:
+    # cfg.VIS.ENABLED dumps annotated images under $CKPT/vis/)
+    vis_dir = None
+    class_names = None
+    if cfg.VIS.ENABLED:
+        vis_dir = os.path.join(cfg.CKPT, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        class_names = [""] * (max(c2j, default=0) + 1)
+        for cont, jid in c2j.items():
+            cat = getattr(dataset.coco, "cats", {}).get(jid, {})
+            class_names[cont] = cat.get("name", str(jid))
+
+    def _vis_one(dets_np, meta):
+        """Draw final detections (original image coords) over the raw
+        image and write $CKPT/vis/<file_name>."""
+        from cpm_tpu.utils.vis import save_vis
+
+        image = dataset.load_image(meta["index"])
+        file_name = os.path.basename(
+            dataset.get_img_info(meta["index"]).get(
+                "file_name", f"{meta['image_id']}.jpg"
+            )
+        )
+        keep = dets_np["mask"].astype(bool)
+        save_vis(
+            image,
+            dets_np["boxes"][keep],
+            dets_np["scores"][keep],
+            dets_np["labels"][keep],
+            os.path.join(vis_dir, file_name),
+            class_names=class_names,
+            score_thresh=cfg.VIS.VIS_TH,
+            num_classes=cfg.MODEL.NUM_CLASSES,
+        )
+
     def dispatch(items):
         """Enqueue all passes' forwards (async jax dispatch) — the chip
         works on this image while the host post-processes the previous
@@ -280,6 +315,8 @@ def run_inference_on_dataset(
                         merged, per_pass[0][1]["image_id"], (1.0, 1.0), c2j
                     )
                 )
+                if vis_dir is not None:
+                    _vis_one(merged, per_pass[0][1])
             else:
                 dets_np, meta = per_pass[0]
                 results.extend(
@@ -287,6 +324,14 @@ def run_inference_on_dataset(
                         dets_np, meta["image_id"], meta["scale_hw"], c2j
                     )
                 )
+                if vis_dir is not None:
+                    sh, sw = meta["scale_hw"]
+                    orig = dict(dets_np)
+                    b = dets_np["boxes"].copy()
+                    b[:, 0::2] /= sw
+                    b[:, 1::2] /= sh
+                    orig["boxes"] = b
+                    _vis_one(orig, meta)
 
     pending = None
     for items in zip(*loaders):

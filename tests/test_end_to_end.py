@@ -240,3 +240,34 @@ def test_synthetic_dataset_materializes(tmp_path):
     # idempotent: second build reuses the on-disk copy
     ds2 = build_dataset(cfg, (SYNTHETIC_NAME,), is_train=True)[0]
     assert len(ds2) == len(ds)
+
+
+def test_vis_hook_writes_images(tiny_cfg, tmp_path):
+    """cfg.VIS.ENABLED dumps annotated images under $CKPT/vis/ during
+    inference (reference test_engine.py:171-187)."""
+    import copy
+
+    from cpm_tpu.modeling.model import build_model
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.VIS.ENABLED = True
+    cfg.VIS.VIS_TH = 0.0
+    cfg.CKPT = str(tmp_path / "vis_ckpt")
+    img_dir, ann_file = _make_coco_dir(tmp_path, n_images=3)
+    dataset = COCODataset(ann_file, img_dir)
+
+    model = build_model(cfg)
+    item = next(iter(TestLoader(cfg, dataset)))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        item["images"], item["image_sizes"], train=False,
+    )
+    run_inference_on_dataset(
+        cfg, model, variables["params"], dataset, progress_every=0
+    )
+    vis_dir = os.path.join(cfg.CKPT, "vis")
+    files = sorted(os.listdir(vis_dir))
+    assert len(files) == 3
+    for f in files:
+        im = Image.open(os.path.join(vis_dir, f))
+        assert im.size[0] > 0
