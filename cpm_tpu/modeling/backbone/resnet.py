@@ -306,6 +306,30 @@ def build_resnet(cfg):
     )
 
 
+@registry.BACKBONES.register("resnet_c4")
+def build_resnet_c4(cfg):
+    """Stride-16 trunk stopping at C4 (backbone/ResNet.py:295-301:
+    stride=16 truncates LAYERS to the first 3 stages). Pairs with the
+    resnet_c5_head / resnet_2mlp_head RoI heads for non-FPN models."""
+    r = cfg.BACKBONE.RESNET
+    norm = "gn" if r.USE_GN else "affine"
+    return ResNetBody(
+        base_planes=getattr(r, "BASE_PLANES", 64),
+        layers=tuple(r.LAYERS)[:3],
+        width=r.WIDTH,
+        bottleneck=r.BOTTLENECK,
+        groups=1,
+        stride_3x3=r.STRIDE_3X3,
+        avg_down=r.AVG_DOWN,
+        use_3x3x3stem=r.USE_3x3x3HEAD,
+        norm=norm,
+        stage_with_conv=tuple(r.STAGE_WITH_CONV)[:3],
+        stage_with_context=tuple(r.STAGE_WITH_CONTEXT)[:3],
+        ctx_ratio=r.CTX_RATIO,
+        c5_dilation=r.C5_DILATION,
+    )
+
+
 @registry.BACKBONES.register("resnext")
 def build_resnext(cfg):
     r = cfg.BACKBONE.RESNEXT

@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from cpm_tpu.modeling import registry
 import cpm_tpu.modeling.backbone  # noqa: F401  (registers backbones)
+import cpm_tpu.modeling.roi_heads.c4_heads  # noqa: F401  (registers C4 heads)
 from cpm_tpu.modeling.fpn import get_min_max_levels
 from cpm_tpu.modeling.roi_heads.box_head import (
     BoxOutput,
@@ -47,6 +48,25 @@ def _roi_scales(cfg):
     return tuple(base * (0.5**i) for i in range(n))
 
 
+def _head_scales(cfg):
+    """RoI-head pooling scales: FPN roi levels, or the single last
+    backbone scale in non-FPN mode (model_builder.py:42-44:
+    spatial_scale = Conv_Body.spatial_scale[-1:])."""
+    if cfg.MODEL.FPN_ON:
+        return _roi_scales(cfg)
+    if cfg.BACKBONE.CONV_BODY.endswith("_c4"):
+        return (1.0 / 16,)
+    return (1.0 / 32 * cfg.BACKBONE.RESNET.C5_DILATION,)
+
+
+def _head_features(cfg, features):
+    """Slice the feature list the way the reference hands it to the RoI
+    family: FPN roi levels, or [last backbone map] in non-FPN mode."""
+    if cfg.MODEL.FPN_ON:
+        return features[: len(_roi_scales(cfg))]
+    return features[-1:]
+
+
 class FastRCNNHead(nn.Module):
     """Fast R-CNN RoI family (fast_rcnn/fast_rcnn.py:12-75)."""
 
@@ -55,7 +75,7 @@ class FastRCNNHead(nn.Module):
     def setup(self):
         c = self.cfg
         head_cls = registry.ROI_BOX_HEADS[c.FAST_RCNN.ROI_BOX_HEAD]
-        scales = _roi_scales(c)
+        scales = _head_scales(c)
         if c.FAST_RCNN.ROI_BOX_HEAD == "roi_2mlp_head":
             self.head = head_cls(
                 resolution=tuple(c.FAST_RCNN.ROI_XFORM_RESOLUTION),
@@ -63,6 +83,28 @@ class FastRCNNHead(nn.Module):
                 sampling_ratio=c.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
                 mlp_dim=c.FAST_RCNN.MLP_HEAD.MLP_DIM,
             )
+        elif c.FAST_RCNN.ROI_BOX_HEAD in (
+            "resnet_c5_head", "resnet_2mlp_head",
+        ):
+            r = c.BACKBONE.RESNET
+            kw = dict(
+                resolution=tuple(c.FAST_RCNN.ROI_XFORM_RESOLUTION),
+                scales=scales,
+                sampling_ratio=c.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+                layers4=r.LAYERS[3],
+                width=r.WIDTH,
+                stride_3x3=r.STRIDE_3X3,
+                avg_down=r.AVG_DOWN,
+                norm="gn" if r.USE_GN else "affine",
+                conv=r.STAGE_WITH_CONV[3],
+                context=r.STAGE_WITH_CONTEXT[3],
+                ctx_ratio=r.CTX_RATIO,
+                c5_dilation=r.C5_DILATION,
+                base_planes=getattr(r, "BASE_PLANES", 64),
+            )
+            if c.FAST_RCNN.ROI_BOX_HEAD == "resnet_2mlp_head":
+                kw["mlp_dim"] = c.FAST_RCNN.MLP_HEAD.MLP_DIM
+            self.head = head_cls(**kw)
         else:
             self.head = head_cls(
                 resolution=tuple(c.FAST_RCNN.ROI_XFORM_RESOLUTION),
@@ -89,7 +131,7 @@ class FastRCNNHead(nn.Module):
         train: bool = False,
     ):
         c = self.cfg
-        features = features[: len(_roi_scales(c))]
+        features = _head_features(c, features)
         if train:
             key = self.make_rng("sample")
             sampled = subsample_rois(
@@ -212,6 +254,15 @@ class GeneralizedRCNN(nn.Module):
         applies the per-channel (x*a + b) affine — the reference's
         in-model AffineChannel2d normalization (model_builder.py:24-28,
         164) done the XLA way: the affine fuses into conv1's input.
+
+        Documented deviation: padded batch regions (uint8 zeros) map to
+        -mean/std here, whereas host-side normalization (and the
+        reference's *train* pipeline, which zero-pads after normalizing)
+        leaves them exactly 0. This matches the reference's eval-time
+        AffineChannel2d semantics (box_net pads raw pixels then
+        normalizes in-model); at train it shifts conv features only in
+        the padded border, which the valid-size-aware losses never read.
+        Set TPU.DEVICE_NORMALIZE=False for exact host-path equivalence.
         """
         import numpy as np
 
@@ -261,7 +312,10 @@ class GeneralizedRCNN(nn.Module):
             fpn_post_nms_per_batch=c.RPN.FPN_POST_NMS_PER_BATCH,
             is_train=train,
             box_coder=self.rpn_box_coder,
-            approx_topk=getattr(c.TPU, "APPROX_TOPK", True),
+            # approx pre-NMS top-k is a train-speed knob only: eval always
+            # uses exact lax.top_k so imported-weight validation matches
+            # the reference's exact sort (inference.py:85-89)
+            approx_topk=train and getattr(c.TPU, "APPROX_TOPK", True),
         )
 
         if train:

@@ -102,6 +102,11 @@ class BoxOutput(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if x.ndim == 4:
+            # 4D head features (resnet_c5_head): global average pool +
+            # flatten, the reference's adaptive_avg_pool2d(1)
+            # (fast_rcnn/outputs.py:33-37)
+            x = jnp.mean(x, axis=(1, 2))
         cls_score = nn.Dense(
             self.num_classes,
             kernel_init=nn.initializers.normal(0.01),

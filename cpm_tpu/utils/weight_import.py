@@ -336,3 +336,54 @@ def import_resnet_backbone_sd(
                 blk["AffineChannel_3"] = {"scale": s, "bias": b}
             out[f"layer{li + 1}_{bi}"] = blk
     return out
+
+
+def import_c5_stage(
+    sd: Dict[str, np.ndarray],
+    n_blocks: int,
+    prefix: str = "",
+    bn_eps: float = 1e-5,
+) -> Dict:
+    """torch `{prefix}layer4.{b}.*` (the stage-5 Bottleneck stack of
+    ResNet_C5_Head / ResNet_2mlp_Head, backbone/ResNet.py:151-301) ->
+    flax layer4_{b} params with BN folded to affine."""
+    out: Dict = {}
+    for bi in range(n_blocks):
+        t_pref = f"{prefix}layer4.{bi}"
+        blk: Dict = {}
+        for ci in (1, 2, 3):
+            if f"{t_pref}.conv{ci}.weight" not in sd:
+                continue
+            blk[f"conv{ci}"] = {
+                "kernel": conv_to_hwio(sd[f"{t_pref}.conv{ci}.weight"])
+            }
+            s, b = fold_bn(sd, f"{t_pref}.bn{ci}", bn_eps)
+            blk[f"AffineChannel_{ci - 1}"] = {"scale": s, "bias": b}
+        if f"{t_pref}.downsample.0.weight" in sd:
+            blk["downsample_conv"] = {
+                "kernel": conv_to_hwio(sd[f"{t_pref}.downsample.0.weight"])
+            }
+            s, b = fold_bn(sd, f"{t_pref}.downsample.1", bn_eps)
+            blk["AffineChannel_3"] = {"scale": s, "bias": b}
+        out[f"layer4_{bi}"] = blk
+    return out
+
+
+def import_2mlp_head(
+    sd: Dict[str, np.ndarray],
+    n_blocks: int,
+    pool_hw=(7, 7),
+    prefix: str = "",
+    bn_eps: float = 1e-5,
+) -> Dict:
+    """ResNet_2mlp_Head (backbone/ResNet.py:210-301): stage-5 stack +
+    conv_new (Sequential index 0) + fc1/fc2; fc1 follows an NCHW flatten
+    of the pooled 256-ch feature -> row-permuted kernel."""
+    out = import_c5_stage(sd, n_blocks, prefix, bn_eps)
+    out["conv_new"] = {
+        "kernel": conv_to_hwio(sd[f"{prefix}conv_new.0.weight"]),
+        "bias": sd[f"{prefix}conv_new.0.bias"],
+    }
+    out["fc1"] = _fc_after_pool(sd, f"{prefix}fc1", pool_hw)
+    out["fc2"] = _fc(sd, f"{prefix}fc2")
+    return out
