@@ -49,8 +49,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
-    """Device_put each [B, ...] array with its leading dim sharded."""
+    """Device_put each [B, ...] array with its leading dim sharded.
+
+    Single-process: `batch` is the global batch, device_put splits it.
+    Multi-process (jax.distributed): `batch` is this process's LOCAL
+    slice (global_batch / process_count, the train CLI's local_batch);
+    the shards are assembled into one global array per leaf — the JAX
+    analogue of the reference's per-rank DistributedSampler slice
+    (pet/utils/data/samplers/distributed.py:7-63)."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (
+                x.shape[0] * jax.process_count(),
+            ) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sh, x, global_shape
+            )
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch
     )
