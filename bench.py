@@ -31,6 +31,34 @@ PEAK_FLOPS = {
 }
 
 
+def measure_pool_scaling():
+    """N-worker ImagePool decode scaling (tools/bench_host_pipeline.py)
+    — evidence the host pipeline can feed a multi-chip slice. Returns
+    {workers: [...], images_per_sec: [...], peak_images_per_sec: N}."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_host_pipeline.py"),
+             "--images", "32"],
+            capture_output=True, text=True, timeout=600,
+        )
+        data = json.loads(out.stdout.strip().splitlines()[-1])
+        if "error" in data:
+            return None
+        return dict(
+            workers=data["workers"],
+            images_per_sec=data["images_per_sec"],
+            peak_images_per_sec=data["peak_images_per_sec"],
+            cpus=data["cpus"],
+        )
+    except Exception:
+        return None
+
+
 def measure_loader_throughput(cfg, n_images: int = 48):
     """Host data-path img/s: JPEG decode+resize+normalize+batch at the
     train resolution through TrainLoader (native ImagePool when built)."""
@@ -233,6 +261,7 @@ def main():
     infer_b4_ips /= n_dev
 
     loader_ips = measure_loader_throughput(cfg)
+    pool_scaling = measure_pool_scaling()
 
     per_chip = train_ips / n_dev
     print(
@@ -250,6 +279,7 @@ def main():
                 host_loader_images_per_sec=(
                     round(loader_ips, 2) if loader_ips else None
                 ),
+                host_pool_scaling=pool_scaling,
                 compute_dtype=str(cfg.TPU.COMPUTE_DTYPE),
             )
         )
