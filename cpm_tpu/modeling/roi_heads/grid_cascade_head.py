@@ -48,7 +48,7 @@ from cpm_tpu.modeling.roi_heads.targets import (
     subsample_rois,
 )
 from cpm_tpu.ops.box_coder import BoxCoder
-from cpm_tpu.ops.losses import l2_loss
+from cpm_tpu.ops.losses import ism_l2_loss
 from cpm_tpu.structures.boxes import box_iou
 from cpm_tpu.utils.matcher import match_boxes
 from cpm_tpu.utils.sampler import sample_k_from_mask
@@ -298,8 +298,9 @@ class GridCascadeRCNNHead(nn.Module):
                 iou_t = jnp.stack(
                     [1.0 - matched_iou, matched_iou], axis=-1
                 ).reshape(-1, 2)
-                losses[f"loss_iou_{stage + 1}"] = g.IOU_LOSS_WEIGHT * l2_loss(
-                    iou_logits, iou_t, mask=flat_mask[:, None]
+                losses[f"loss_iou_{stage + 1}"] = (
+                    g.IOU_LOSS_WEIGHT
+                    * ism_l2_loss(iou_logits, iou_t, flat_mask)
                 )
 
             if stage < self.stage_num - 1:

@@ -48,6 +48,47 @@ def l2_loss(
     return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def ism_l2_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """The ISM IoU branch's L2 loss with the reference's exact indexing
+    semantics (pet/lib/ops/l2_loss.py:11 called from
+    grid_cascade_rcnn/loss.py:273).
+
+    The reference gathers `x[pos_inds]` where pos_inds is the [K, 2]
+    result of nonzero(target > 0) on the [N, 2] (bg, fg) target. A 2-D
+    index tensor indexes dim 0 elementwise, so entry (k, 0) gathers row
+    `row_k` (the intended one) and entry (k, 1) gathers row `col_k` —
+    the COLUMN index (0 or 1) reused as a row index. The exact value
+    (verified bit-close against the torch code) is
+        loss = [sum_i c_i * e_i  +  n0 * e_{v0}  +  n1 * e_{v1}] / K
+    where e_i = 0.5*||x_i - t_i||^2, c_i = #{j : t[i,j] > 0},
+    n_j = #{i : t[i,j] > 0}, K = n0 + n1, and v0/v1 are the first two
+    rows of the reference's (unpadded) tensor.
+
+    pred/target: [N, 2]; valid: [N] roi-validity mask — v0/v1 map to the
+    first two VALID rows in flat order (the reference concatenates only
+    real rois).
+    """
+    v = valid.astype(pred.dtype)
+    pos = (target > 0) & valid[:, None]
+    posf = pos.astype(pred.dtype)
+    c = jnp.sum(posf, axis=-1)                   # [N]
+    n0 = jnp.sum(posf[:, 0])
+    n1 = jnp.sum(posf[:, 1])
+    row_err = 0.5 * jnp.sum((pred - target) ** 2, axis=-1) * v
+    k = n0 + n1
+    # first and second valid rows in flat order
+    vi = jnp.cumsum(valid.astype(jnp.int32))
+    first = jnp.argmax(valid)
+    second = jnp.argmax(vi == 2)
+    nvalid = vi[-1] if vi.shape[0] else jnp.asarray(0)
+    e0 = jnp.where(nvalid >= 1, row_err[first], 0.0)
+    e1 = jnp.where(nvalid >= 2, row_err[second], 0.0)
+    total = jnp.sum(row_err * c) + n0 * e0 + n1 * e1
+    return total / jnp.maximum(k, 1.0)
+
+
 def softmax_cross_entropy(
     logits: jnp.ndarray,
     labels: jnp.ndarray,

@@ -10,6 +10,13 @@ Hard NMS uses sort + a fixed-point "self-suppression" iteration: keep[i] is
 recomputed as "no kept higher-scored box overlaps me" until convergence,
 which yields exactly the sequential greedy NMS result (the iteration count
 equals the longest suppression chain, typically << N).
+
+IoU convention: the reference's NMS-family kernels all use the STANDARD
+(x2-x1)*(y2-y1) IoU with no +1 — torchvision nms (RPN), ml_nms.cu:19-26,
+soft_nms.cpp:22,72, box_voting.cu — while its matcher/boxlist_iou path
+uses TO_REMOVE=1. Hence `legacy_plus1=False` defaults here (flipping it
+was worth 4/50 differing RPN proposals vs the reference on identical
+inputs: neighbor-anchor pairs whose +1-IoU crosses the 0.7 threshold).
 """
 
 import jax
@@ -48,7 +55,7 @@ def nms(
     iou_threshold: float,
     max_output: int,
     mask: jnp.ndarray | None = None,
-    legacy_plus1: bool = True,
+    legacy_plus1: bool = False,
 ):
     """Class-agnostic hard NMS.
 
@@ -89,7 +96,7 @@ def batched_nms(
     iou_threshold: float,
     max_output: int,
     mask: jnp.ndarray | None = None,
-    legacy_plus1: bool = True,
+    legacy_plus1: bool = False,
 ):
     """Category-aware NMS via the coordinate-offset trick.
 
@@ -109,7 +116,7 @@ def multiclass_nms(
     iou_threshold: float,
     max_output: int,
     mask: jnp.ndarray | None = None,
-    legacy_plus1: bool = True,
+    legacy_plus1: bool = False,
 ):
     """ml_nms equivalent (csrc/NMS/ml_nms.cu): label-aware hard NMS."""
     return batched_nms(
@@ -126,7 +133,7 @@ def soft_nms(
     score_thresh: float = 0.001,
     method: str = "linear",
     mask: jnp.ndarray | None = None,
-    legacy_plus1: bool = True,
+    legacy_plus1: bool = False,
 ):
     """Soft-NMS (csrc/NMS/soft_nms.cpp semantics).
 
@@ -177,7 +184,7 @@ def box_voting(
     beta: float = 1.0,
     top_mask: jnp.ndarray | None = None,
     pool_mask: jnp.ndarray | None = None,
-    legacy_plus1: bool = True,
+    legacy_plus1: bool = False,
 ):
     """Box voting (csrc/Box_ops/box_voting.cu): refine kept boxes by the
     score-weighted average of all pre-NMS boxes overlapping >= thresh.
@@ -227,7 +234,7 @@ def matrix_nms(
     mask: jnp.ndarray | None = None,
     method: str = "gauss",
     sigma: float = 0.5,
-    legacy_plus1: bool = True,
+    legacy_plus1: bool = False,
 ):
     """Matrix NMS (SOLOv2-style; reference boxlist_ops.matrix_nms:380).
 
@@ -275,7 +282,7 @@ def ml_soft_nms(
     score_thresh: float = 0.001,
     method: str = "linear",
     mask: jnp.ndarray | None = None,
-    legacy_plus1: bool = True,
+    legacy_plus1: bool = False,
 ):
     """Label-aware soft-NMS (csrc/NMS/ml_soft_nms.cpp) via the
     coordinate-offset trick: boxes of different labels never decay each
@@ -302,7 +309,7 @@ def box_ml_voting(
     beta: float = 1.0,
     top_mask: jnp.ndarray | None = None,
     pool_mask: jnp.ndarray | None = None,
-    legacy_plus1: bool = True,
+    legacy_plus1: bool = False,
 ):
     """Label-aware box voting (csrc/Box_ops/box_ml_voting.cu): only
     same-label pool boxes vote."""

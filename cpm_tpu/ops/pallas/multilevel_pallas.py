@@ -388,6 +388,46 @@ def multilevel_roi_align_pallas(
     return out
 
 
+def window_overflow_mask(
+    features,
+    rois,
+    levels,
+    output_size,
+    spatial_scales,
+    sampling_ratio=0,
+    aligned=False,
+):
+    """[R] bool: True where the WIN-cell window cannot cover every
+    bilinear source cell of the roi (extreme aspect ratios / giant
+    level-clamped rois) — exactly the rois whose overflowing samples the
+    kernel reads as zero. Used by the pooler's exactness fallback and by
+    audit tooling.
+    """
+    ph, pw = output_size
+    sr = sampling_ratio if sampling_ratio > 0 else 2
+    level_hw = tuple((int(f.shape[1]), int(f.shape[2])) for f in features)
+    level_hw_pad = tuple(
+        (h, ((w + 7) // 8) * 8) for h, w in level_hw
+    )
+    _, _, _, ys_rel, xs_rel = _prep_rois(
+        rois, levels, spatial_scales, level_hw, level_hw_pad,
+        output_size, sr, aligned,
+    )
+    lvl = levels.astype(jnp.int32)
+    wy_dim = jnp.asarray(
+        np.array([min(WIN, h) for h, _ in level_hw_pad], np.float32)
+    )[lvl]
+    wx_dim = jnp.asarray(
+        np.array([min(WIN, w) for _, w in level_hw_pad], np.float32)
+    )[lvl]
+    # a sample at relative pos p reads cells floor(p)/floor(p)+1; the
+    # window holds cells [0, wdim): exact iff every in-bounds sample has
+    # p <= wdim - 1 (oob samples are encoded as -2 and read zero by spec)
+    over_y = jnp.max(ys_rel, axis=1) > wy_dim - 1.0
+    over_x = jnp.max(xs_rel, axis=1) > wx_dim - 1.0
+    return over_y | over_x
+
+
 def _unpack_rois_levels(rois_levels):
     if len(rois_levels) == 3:
         rois, levels, valid = rois_levels

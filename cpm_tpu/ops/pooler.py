@@ -17,6 +17,7 @@ and one-hot-selected, 4x the work).
 import math
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 from cpm_tpu.ops.roi_align import multilevel_roi_align, roi_align
@@ -30,6 +31,13 @@ from cpm_tpu.structures.boxes import box_area
 # gather when the static shape check fails (huge images, pool sizes
 # beyond the window).
 _BACKEND = "auto"
+
+# max rois per call routed through the gather-path exactness fallback
+# when their bilinear source cells overflow the Pallas kernel's WIN-cell
+# window (aspect ratio >~ 3.9). Overflow is vanishingly rare on real
+# proposal sets; beyond the cap, extra overflow rois keep the kernel's
+# zero-read behavior.
+OVERFLOW_CAP = 16
 
 
 def set_pooler_backend(name: str):
@@ -158,6 +166,10 @@ class Pooler:
                     channels=int(features[0].shape[-1]),
                 )
             if use_pallas:
+                from cpm_tpu.ops.pallas.multilevel_pallas import (
+                    window_overflow_mask,
+                )
+
                 # the kernel skips masked rois (no window DMA, no matmuls,
                 # no gradient accumulation) — fixed-shape roi sets are
                 # often 40-70% padding on the train path
@@ -172,6 +184,35 @@ class Pooler:
                     self.output_size,
                     self.scales,
                     self.sampling_ratio,
+                )
+                # exactness fallback: rois whose source cells overflow the
+                # kernel's WIN-cell window (aspect ratio >~3.9) would read
+                # zeros for the overflowing samples; route up to
+                # OVERFLOW_CAP of them through the gather path instead so
+                # the pooling is exact for every realistic roi set
+                over = (
+                    window_overflow_mask(
+                        features, rois, levels - self.k_min,
+                        self.output_size, self.scales,
+                        self.sampling_ratio,
+                    )
+                    & valid
+                )
+                cap = min(OVERFLOW_CAP, rois.shape[0])
+                oscore, oidx = jax.lax.top_k(
+                    over.astype(jnp.float32), cap
+                )
+                osel = oscore > 0.0
+                sub = multilevel_roi_align(
+                    list(features),
+                    rois[oidx],
+                    (levels - self.k_min)[oidx],
+                    self.output_size,
+                    self.scales,
+                    self.sampling_ratio,
+                ).astype(out.dtype)
+                out = out.at[oidx].set(
+                    jnp.where(osel[:, None, None, None], sub, out[oidx])
                 )
             else:
                 out = multilevel_roi_align(

@@ -19,6 +19,12 @@ import pytest
 _WORKER = r"""
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+# persistent compile cache: the tiny-CPM train step takes minutes to
+# compile on a loaded 1-core CI box, and rank skew beyond ~30s trips
+# gloo/coordination timeouts — a warm cache makes both ranks load the
+# executable in seconds (first, cache-cold attempt may flake; the test
+# retries once)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cpm_mh_cache")
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -28,6 +34,13 @@ jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
 assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 4, jax.device_count()
 assert jax.local_device_count() == 2
+
+# Establish the Gloo context NOW, while both ranks are milliseconds
+# apart: the context rendezvous has a hard 30s KeyValue timeout, and the
+# train-step compile below can skew the ranks by minutes on a loaded
+# 1-core CI box (observed flake).
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("warmup")
 
 sys.path.insert(0, os.getcwd())  # launched with cwd=/root/repo
 import numpy as np
@@ -60,9 +73,7 @@ print(f"RANK{rank} LOSS {total:.10f} PSUM {float(np.abs(host_leaf).sum()):.6f}",
 """
 
 
-def test_two_process_distributed_train_step(tmp_path):
-    worker = tmp_path / "mh_worker.py"
-    worker.write_text(_WORKER)
+def _run_pair(worker):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -82,6 +93,21 @@ def test_two_process_distributed_train_step(tmp_path):
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    worker = tmp_path / "mh_worker.py"
+    worker.write_text(_WORKER)
+
+    # first attempt may be cache-cold: two concurrent multi-minute
+    # compiles on a loaded 1-core box can skew the ranks past gloo's
+    # hard 30s timeouts. The retry runs with the persistent compile
+    # cache warm (seconds), so it measures the actual DP semantics.
+    for attempt in range(2):
+        procs, outs = _run_pair(worker)
+        if all(p.returncode == 0 for p in procs):
+            break
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
 

@@ -5,11 +5,12 @@ from cpm_tpu.ops.nms import multiclass_nms, nms, soft_nms
 
 
 def _np_greedy_nms(boxes, scores, thresh):
-    """Sequential greedy NMS with TO_REMOVE=1 IoU."""
+    """Sequential greedy NMS with the reference kernels' standard IoU
+    (no +1 — torchvision nms / ml_nms.cu:19-26)."""
     order = np.argsort(-scores)
     keep = []
     suppressed = np.zeros(len(boxes), bool)
-    a = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     for i in order:
         if suppressed[i]:
             continue
@@ -19,7 +20,7 @@ def _np_greedy_nms(boxes, scores, thresh):
                 continue
             lt = np.maximum(boxes[i, :2], boxes[j, :2])
             rb = np.minimum(boxes[i, 2:], boxes[j, 2:])
-            wh = np.clip(rb - lt + 1, 0, None)
+            wh = np.clip(rb - lt, 0, None)
             inter = wh[0] * wh[1]
             iou = inter / (a[i] + a[j] - inter)
             if iou > thresh:
@@ -91,3 +92,34 @@ def test_soft_nms_linear_decay():
     # overlapping box decays: iou=1 -> score*(1-1)=0 -> below thresh
     assert idx[1] == 2  # far box picked next
     assert valid.sum() == 2
+
+
+def test_nms_matches_reference_kernels(rng):
+    """Cross-check against the ref_oracle stubs that drive the reference
+    model (torchvision nms / ml_nms.cu semantics)."""
+    import torch
+
+    from tests.ref_oracle import ref_ml_nms, ref_nms
+
+    for trial in range(5):
+        n = 64
+        boxes = _rand_boxes(rng, n)
+        scores = rng.rand(n).astype(np.float32)
+        idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.55, n)
+        got = list(np.asarray(idx)[np.asarray(valid)])
+        want = ref_nms(
+            torch.from_numpy(boxes), torch.from_numpy(scores), 0.55
+        ).tolist()
+        assert got == want
+
+        labels = rng.randint(1, 5, n).astype(np.int64)
+        idx, valid = multiclass_nms(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            jnp.asarray(labels.astype(np.int32)), 0.55, n,
+        )
+        got = list(np.asarray(idx)[np.asarray(valid)])
+        want = ref_ml_nms(
+            torch.from_numpy(boxes), torch.from_numpy(scores),
+            torch.from_numpy(labels), 0.55,
+        ).tolist()
+        assert got == want

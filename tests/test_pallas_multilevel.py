@@ -142,3 +142,63 @@ def test_pallas_masked_rois_zero_output_and_no_gradient():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_window_overflow_mask_flags_extreme_aspects():
+    """Extreme-aspect rois overflow the WIN-cell window; normal rois
+    don't. The mask drives the pooler's gather-path exactness fallback."""
+    import numpy as np
+
+    from cpm_tpu.ops.pallas.multilevel_pallas import (
+        WIN,
+        window_overflow_mask,
+    )
+    from cpm_tpu.ops.pooler import assign_fpn_levels
+
+    feats = [jnp.zeros((1, 200 // s, 336 // s, 8)) for s in (1, 2, 4, 8)]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    rois = jnp.asarray(np.array([
+        [0, 10, 10, 120, 110],     # normal square-ish
+        [0, 0, 40, 790, 52],       # aspect ~66: must overflow
+        [0, 5, 5, 60, 600],        # tall aspect ~10 (beyond image; clip
+                                   # keeps samples in-level but window x
+                                   # extent modest) -> check y axis
+        [0, 0, 0, 30, 30],
+    ], np.float32))
+    levels = assign_fpn_levels(rois[:, 1:5], 2, 5) - 2
+    over = np.asarray(window_overflow_mask(
+        feats, rois, levels, (7, 7), scales, sampling_ratio=2,
+    ))
+    assert not over[0] and not over[3]
+    assert over[1]
+
+
+def test_pooler_overflow_fallback_exact_on_tpu():
+    """On TPU, the Pooler's pallas path must equal the gather path even
+    for window-overflowing rois (the fallback routes them to gather)."""
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("pallas pooler only runs on TPU")
+    from cpm_tpu.ops.pooler import Pooler, set_pooler_backend
+
+    rng = np.random.RandomState(0)
+    feats = [
+        jnp.asarray(rng.rand(1, 200 // s, 336 // s, 32).astype(np.float32))
+        for s in (1, 2, 4, 8)
+    ]
+    rois = jnp.asarray(np.array([
+        [0, 10, 10, 120, 110],
+        [0, 0, 40, 790, 52],     # overflows the window
+        [0, 2, 2, 12, 300],      # tall
+        [0, 0, 0, 30, 30],
+    ], np.float32))
+    pool = Pooler((7, 7), (0.25, 0.125, 0.0625, 0.03125), 2)
+    try:
+        set_pooler_backend("pallas")
+        got = np.asarray(pool(feats, rois))
+        set_pooler_backend("gather")
+        want = np.asarray(pool(feats, rois))
+    finally:
+        set_pooler_backend("auto")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,200 @@
+"""A/B the accuracy-affecting TPU deviations on a trained checkpoint.
+
+Measures, with the tiny-CPM torch checkpoint trained by
+tools/parity_experiment.py (imported into the JAX model):
+
+  1. TPU.POOLER_KERNEL pallas vs gather: full eval over the synthetic
+     dataset with each backend; reports per-metric COCOeval deltas and
+     the max per-detection box/score difference. (The Pallas kernel is
+     exact for window-fitting rois and routes overflowing rois through
+     the gather path, so residual deltas are bf16/accumulation-order
+     noise.)
+  2. The window-overflow rate: fraction of eval-time pooled rois whose
+     source cells exceed the WIN-cell window, measured over every
+     pooler call of the eval run.
+
+TPU.APPROX_TOPK needs no eval A/B anymore: inference always uses exact
+lax.top_k (cpm_tpu/modeling/model.py — approx_max_k is train-only).
+
+Run on the TPU chip: python tools/ab_deviations.py
+"""
+
+import contextlib
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tests"),
+)
+
+import numpy as np
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/tmp/cpm_parity_ref.pt")
+    ap.add_argument("--out", default="docs/AB_DEVIATIONS.md")
+    args = ap.parse_args()
+
+    import torch
+
+    import jax
+
+    from parity_experiment import DELTAS, _set_path, load_dataset
+    from cpm_tpu.config import get_default_cfg
+    from cpm_tpu.engine.test import run_inference_on_dataset
+    from cpm_tpu.evaluation.coco_eval import COCOEvaluator
+    from cpm_tpu.modeling.model import build_model
+    from cpm_tpu.utils.weight_import import import_cpm_checkpoint
+
+    if not os.path.exists(args.ckpt):
+        print(f"checkpoint {args.ckpt} missing — run "
+              "tools/parity_experiment.py first")
+        return
+
+    sd = {
+        k: v.numpy()
+        for k, v in torch.load(args.ckpt, weights_only=True).items()
+    }
+    dataset = load_dataset()
+    backend = jax.default_backend()
+
+    results = {}
+    stats = {}
+    for kernel in ("gather", "pallas"):
+        cfg = get_default_cfg()
+        for path, value in DELTAS:
+            _set_path(cfg, path, value)
+        cfg.TPU.POOLER_KERNEL = kernel
+        cfg.TPU.COMPUTE_DTYPE = (
+            "bfloat16" if backend == "tpu" else "float32"
+        )
+        params = import_cpm_checkpoint(sd, cfg)
+        model = build_model(cfg)
+        res = run_inference_on_dataset(
+            cfg, model, params, dataset, progress_every=0
+        )
+        results[kernel] = res
+        img_ids = [dataset.id_to_img_map[i] for i in range(len(dataset))]
+        with contextlib.redirect_stdout(io.StringIO()):
+            stats[kernel] = COCOEvaluator(dataset.coco).evaluate(
+                res, img_ids=img_ids
+            )
+        print(f"{kernel}: {len(res)} dets, AP {stats[kernel]['AP']:.4f}")
+
+    # per-detection deltas (match by image/category/rank)
+    def key(r):
+        return (r["image_id"], r["category_id"])
+
+    by = {}
+    for k in ("gather", "pallas"):
+        for r in sorted(results[k], key=lambda r: -r["score"]):
+            by.setdefault(key(r), {}).setdefault(k, []).append(r)
+    box_d, score_d, n_pairs = 0.0, 0.0, 0
+    for v in by.values():
+        a = v.get("gather", [])
+        b = v.get("pallas", [])
+        for ra, rb in zip(a, b):
+            box_d = max(
+                box_d,
+                max(abs(x - y) for x, y in zip(ra["bbox"], rb["bbox"])),
+            )
+            score_d = max(score_d, abs(ra["score"] - rb["score"]))
+            n_pairs += 1
+
+    # overflow audit over eval-time roi sets
+    from cpm_tpu.ops import pooler as P
+    from cpm_tpu.ops.pallas.multilevel_pallas import window_overflow_mask
+
+    overflow = dict(total=0, over=0)
+    orig_call = P.Pooler.__call__
+
+    def audited(self, features, rois, roi_mask=None):
+        if len(features) > 1:
+            levels = P.assign_fpn_levels(
+                rois[:, 1:5], self.k_min, self.k_max,
+                self.canonical_scale, self.canonical_level,
+            )
+            over = np.asarray(window_overflow_mask(
+                features, rois, levels - self.k_min, self.output_size,
+                self.scales, self.sampling_ratio,
+            ))
+            valid = (
+                np.asarray(roi_mask).astype(bool)
+                if roi_mask is not None
+                else np.ones(len(over), bool)
+            )
+            overflow["total"] += int(valid.sum())
+            overflow["over"] += int((over & valid).sum())
+        return orig_call(self, features, rois, roi_mask)
+
+    P.Pooler.__call__ = audited
+    try:
+        cfg = get_default_cfg()
+        for path, value in DELTAS:
+            _set_path(cfg, path, value)
+        cfg.TPU.POOLER_KERNEL = "gather"
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        params = import_cpm_checkpoint(sd, cfg)
+        model = build_model(cfg)
+        run_inference_on_dataset(
+            cfg, model, params, dataset, progress_every=0
+        )
+    finally:
+        P.Pooler.__call__ = orig_call
+
+    rate = overflow["over"] / max(overflow["total"], 1)
+    lines = [
+        "# A/B of TPU-specific deviations (trained tiny-CPM checkpoint)",
+        "",
+        f"Backend: {backend}. Checkpoint: tools/parity_experiment.py "
+        f"({args.ckpt}).",
+        "",
+        "## TPU.POOLER_KERNEL: pallas vs gather (full eval)",
+        "",
+        "| metric | gather | pallas | delta |",
+        "|---|---|---|---|",
+    ]
+    for k in ("AP", "AP50", "AP75", "AR100"):
+        g, p = stats["gather"][k], stats["pallas"][k]
+        lines.append(f"| {k} | {g:.4f} | {p:.4f} | {p - g:+.4f} |")
+    lines += [
+        "",
+        f"Per-detection (rank-matched, {n_pairs} pairs): max box delta "
+        f"{box_d:.4f} px, max score delta {score_d:.5f}.",
+        "",
+        "## Pallas window-overflow rate (eval roi sets)",
+        "",
+        f"{overflow['over']} / {overflow['total']} pooled rois "
+        f"({rate:.3%}) exceed the WIN-cell window. Overflowing rois are "
+        "routed through the exact gather path (cpm_tpu/ops/pooler.py "
+        "OVERFLOW_CAP), so this rate measures fallback traffic, not "
+        "error.",
+        "",
+        "## TPU.APPROX_TOPK",
+        "",
+        "Inference always uses exact lax.top_k "
+        "(cpm_tpu/modeling/model.py); approx_max_k applies only to the "
+        "train-time proposal pre-NMS ranking, where the sampled-proposal "
+        "distribution, not any single ranking, drives learning.",
+    ]
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+    print(json.dumps(dict(
+        ap_gather=stats["gather"]["AP"], ap_pallas=stats["pallas"]["AP"],
+        max_box_delta=box_d, max_score_delta=score_d,
+        overflow_rate=rate,
+    )))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,389 @@
+"""Training-trajectory + mAP parity experiment vs the reference torch model.
+
+Protocol (writes docs/PARITY_MAP.md):
+  1. Build the reference Generalized_RCNN (tiny full-width CPM config,
+     CPU torch, ref_oracle numerical stubs) and train it with SGD on the
+     synthetic COCO dataset.
+  2. At each of the first OVERLAY_STEPS steps, import the reference's
+     CURRENT weights into the JAX model and compute OUR losses on the
+     SAME batch — a rolling lockstep overlay along a real training
+     trajectory (sampling neutralized by oversized sampler budgets).
+  3. After TRAIN_STEPS, import the final weights and run BOTH frameworks'
+     eval over the whole dataset; COCOeval both result sets and compare
+     all 16 summary stats.
+
+Usage: python tools/parity_experiment.py [--steps 200] [--overlay 50]
+"""
+
+import argparse
+import io
+import contextlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tests"),
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+# config deltas shared by both systems (mirrors tests/test_model_parity.py,
+# adapted to the synthetic dataset's 8 classes + small images)
+DELTAS = [
+    ("MODEL.FPN_ON", True),
+    ("MODEL.FASTER_RCNN", False),
+    ("MODEL.GRID_ON", True),
+    ("MODEL.NUM_CLASSES", 9),
+    ("MODEL.CONV1_RGB2BGR", False),
+    ("BACKBONE.CONV_BODY", "resnet"),
+    ("BACKBONE.RESNET.LAYERS", (1, 1, 1, 1)),
+    ("RPN.ANCHOR_STRIDE", (4, 8, 16, 32, 64)),
+    ("RPN.PRE_NMS_TOP_N_TRAIN", 200),
+    ("RPN.POST_NMS_TOP_N_TRAIN", 100),
+    ("RPN.FPN_POST_NMS_TOP_N_TRAIN", 100),
+    ("RPN.PRE_NMS_TOP_N_TEST", 100),
+    ("RPN.POST_NMS_TOP_N_TEST", 50),
+    ("RPN.FPN_POST_NMS_TOP_N_TEST", 50),
+    ("RPN.BATCH_SIZE_PER_IMAGE", 8192),
+    ("GRID_RCNN.CASCADE_MAPPING_ON", True),
+    ("GRID_RCNN.IOU_HELPER", True),
+    ("GRID_RCNN.IOU_HELPER_MERGE", True),
+    ("GRID_RCNN.RESCORE_ON", True),
+    ("GRID_RCNN.BATCH_SIZE_PER_IMAGE", 256),
+    ("GRID_RCNN.MAX_SAMPLE_NUM_GRID", 96),
+    ("GRID_RCNN.MLP_HEAD.MLP_DIM", 64),
+    ("GRID_RCNN.GRID_HEAD.NUM_CONVS", 2),
+    ("GRID_RCNN.GRID_HEAD.POINT_FEAT_CHANNELS", 8),
+    ("GRID_RCNN.TEST_MAX_DETECTIONS", 400),
+    ("GRID_RCNN.CASCADE_MAPPING_OPTION.TEST_ENSEMBLE", False),
+    ("TRAIN.SCALES", (64,)),
+    ("TRAIN.MAX_SIZE", 96),
+    ("TEST.SCALE", 64),
+    ("TEST.MAX_SIZE", 96),
+    ("PIXEL_MEANS", (0.0, 0.0, 0.0)),
+    ("PIXEL_STDS", (1.0, 1.0, 1.0)),
+    ("TO_BGR255", False),
+]
+
+
+def _set_path(cfg, path, value):
+    parts = path.split(".")
+    d = cfg
+    for p in parts[:-1]:
+        d = d[p] if isinstance(d, dict) else getattr(d, p)
+    if isinstance(d, dict):
+        d[parts[-1]] = value
+    else:
+        setattr(d, parts[-1], value)
+
+
+def build_reference():
+    import torch
+
+    from ref_oracle import install_reference_stubs
+
+    install_reference_stubs()
+    import importlib
+
+    ref_config = importlib.import_module("pet.rcnn.core.config")
+    for path, value in DELTAS:
+        _set_path(ref_config.cfg, path, value)
+    MB = importlib.import_module("pet.rcnn.modeling.model_builder")
+    torch.manual_seed(0)
+    model = MB.Generalized_RCNN(is_train=True)
+    model.train()
+    return model
+
+
+def our_cfg():
+    from cpm_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    for path, value in DELTAS:
+        _set_path(cfg, path, value)
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def load_dataset():
+    from cpm_tpu.data.coco import COCODataset
+    from cpm_tpu.data.synthetic_coco import materialize
+
+    img_dir, ann_file = materialize("/tmp/cpm_parity_synth")
+    return COCODataset(ann_file, img_dir)
+
+
+def make_batches(dataset, n_steps, batch_size=2, seed=0):
+    """Deterministic batch stream: resized to 64-shortest, padded to a
+    fixed 64x96 canvas (one compile for the jax side)."""
+    from cpm_tpu.data.transforms import resize_image_and_boxes
+
+    rng = np.random.RandomState(seed)
+    order = []
+    while len(order) < n_steps * batch_size:
+        perm = rng.permutation(len(dataset))
+        order.extend(perm.tolist())
+    batches = []
+    for s in range(n_steps):
+        idxs = order[s * batch_size:(s + 1) * batch_size]
+        imgs, sizes, gts = [], [], []
+        for i in idxs:
+            img = dataset.load_image(i)
+            boxes, labels = dataset.load_annotations(i)
+            img, boxes, (nh, nw) = resize_image_and_boxes(
+                img, boxes.copy(), 64, 96
+            )
+            imgs.append(img.astype(np.float32))
+            sizes.append((nh, nw))
+            gts.append((boxes.astype(np.float32), labels.astype(np.int64)))
+        batches.append((imgs, sizes, gts))
+    return batches
+
+
+def torch_inputs(batch, canvas=(64, 96)):
+    """Zero-pad each image to the same fixed canvas the jax side uses
+    (the reference's BatchCollator pads to SIZE_DIVISIBILITY before the
+    model; raw ragged tensors would break its FPN upsampling)."""
+    import torch
+
+    from pet.utils.data.structures.bounding_box import BoxList
+    from pet.utils.data.structures.image_list import ImageList
+
+    imgs, sizes, gts = batch
+    ch, cw = canvas
+    buf = np.zeros((len(imgs), ch, cw, 3), np.float32)
+    for b, (im, (nh, nw)) in enumerate(zip(imgs, sizes)):
+        buf[b, :nh, :nw] = im[:nh, :nw]
+    imlist = ImageList(
+        torch.from_numpy(buf.transpose(0, 3, 1, 2).copy()),
+        [tuple(s) for s in sizes],
+    )
+    targets = []
+    for (boxes, labels), (nh, nw) in zip(gts, sizes):
+        t = BoxList(torch.from_numpy(boxes), (nw, nh), mode="xyxy")
+        t.add_field("labels", torch.from_numpy(labels))
+        targets.append(t)
+    return imlist, targets
+
+
+def jax_inputs(batch, max_gt=16, canvas=(64, 96)):
+    import jax.numpy as jnp
+
+    imgs, sizes, gts = batch
+    B = len(imgs)
+    ch, cw = canvas
+    im = np.zeros((B, ch, cw, 3), np.float32)
+    sz = np.zeros((B, 2), np.int32)
+    gb = np.zeros((B, max_gt, 4), np.float32)
+    gl = np.zeros((B, max_gt), np.int32)
+    gm = np.zeros((B, max_gt), bool)
+    for b, (img, (nh, nw), (boxes, labels)) in enumerate(
+        zip(imgs, sizes, gts)
+    ):
+        im[b, :nh, :nw] = img[:nh, :nw]
+        sz[b] = (nh, nw)
+        n = min(len(boxes), max_gt)
+        gb[b, :n] = boxes[:n]
+        gl[b, :n] = labels[:n]
+        gm[b, :n] = True
+    return (
+        jnp.asarray(im), jnp.asarray(sz),
+        dict(boxes=jnp.asarray(gb), labels=jnp.asarray(gl),
+             mask=jnp.asarray(gm)),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--overlay", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=0.002)
+    ap.add_argument("--out", default="docs/PARITY_MAP.md")
+    ap.add_argument("--ckpt", default="/tmp/cpm_parity_ref.pt",
+                    help="torch checkpoint path (resume if exists)")
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+
+    import torch
+
+    ref = build_reference()
+    if not args.fresh and os.path.exists(args.ckpt):
+        ref.load_state_dict(torch.load(args.ckpt, weights_only=True))
+        print(f"resumed from {args.ckpt}")
+    cfg = our_cfg()
+    dataset = load_dataset()
+    batches = make_batches(dataset, args.steps)
+
+    from cpm_tpu.modeling.model import build_model
+    from cpm_tpu.utils.weight_import import import_cpm_checkpoint
+
+    model = build_model(cfg)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def our_losses(params, im, sz, gt):
+        return model.apply(
+            {"params": params}, im, sz, gt=gt, train=True,
+            rngs={"sample": jax.random.PRNGKey(0)},
+        )
+
+    opt = torch.optim.SGD(
+        ref.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4
+    )
+    warmup = 20
+
+    overlay = []
+    t0 = time.time()
+    for step, batch in enumerate(batches):
+        lr = args.lr * min(1.0, (step + 1) / warmup)
+        for g in opt.param_groups:
+            g["lr"] = lr
+        imlist, targets = torch_inputs(batch)
+        out = ref(imlist, targets=targets)
+        ref_losses = {k: v for k, v in out["losses"].items()}
+        total = sum(ref_losses.values())
+
+        if step < args.overlay:
+            sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+            params = import_cpm_checkpoint(sd, cfg)
+            im, sz, gt = jax_inputs(batch)
+            ours = our_losses(params, im, sz, gt)
+            overlay.append(dict(
+                step=step,
+                ref={k: float(v) for k, v in ref_losses.items()},
+                ours={k: float(v) for k, v in ours.items()},
+            ))
+
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        if step % 20 == 0:
+            print(f"step {step}: ref total {float(total):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    torch.save(ref.state_dict(), args.ckpt)
+
+    # ---- eval both with the final weights ----
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_cpm_checkpoint(sd, cfg)
+
+    from cpm_tpu.engine.test import run_inference_on_dataset
+    from cpm_tpu.evaluation.coco_eval import COCOEvaluator
+
+    our_results = run_inference_on_dataset(
+        cfg, model, params, dataset, progress_every=0
+    )
+
+    # reference eval loop (test_engine.py test() in miniature)
+    ref.eval()
+    from cpm_tpu.data.transforms import resize_image_and_boxes
+
+    ref_results = []
+    c2j = dataset.contiguous_category_id_to_json_id
+    with torch.no_grad():
+        for i in range(len(dataset)):
+            img = dataset.load_image(i)
+            oh, ow = img.shape[:2]
+            rimg, _, (nh, nw) = resize_image_and_boxes(
+                img, np.zeros((0, 4), np.float32), 64, 96
+            )
+            from pet.utils.data.structures.image_list import ImageList
+
+            buf = np.zeros((64, 96, 3), np.float32)
+            buf[:nh, :nw] = rimg[:nh, :nw]
+            t = torch.from_numpy(buf.transpose(2, 0, 1).copy())
+            res = ref(ImageList(t[None], [(nh, nw)]))[0]
+            boxes = res.bbox.numpy()
+            scores = res.get_field("scores").numpy()
+            labels = res.get_field("labels").numpy()
+            sh, sw = nh / oh, nw / ow
+            for b, s, l in zip(boxes, scores, labels):
+                x1, y1, x2, y2 = b
+                ref_results.append(dict(
+                    image_id=dataset.id_to_img_map[i],
+                    category_id=int(c2j[int(l)]),
+                    bbox=[float(x1 / sw), float(y1 / sh),
+                          float(max((x2 - x1) / sw + 1.0, 0.0)),
+                          float(max((y2 - y1) / sh + 1.0, 0.0))],
+                    score=float(s),
+                ))
+
+    img_ids = [dataset.id_to_img_map[i] for i in range(len(dataset))]
+    with contextlib.redirect_stdout(io.StringIO()):
+        ours_stats = COCOEvaluator(dataset.coco).evaluate(
+            our_results, img_ids=img_ids
+        )
+        ref_stats = COCOEvaluator(dataset.coco).evaluate(
+            ref_results, img_ids=img_ids
+        )
+
+    # ---- report ----
+    lines = [
+        "# mAP / training-trajectory parity vs the reference torch model",
+        "",
+        f"Recipe: {args.steps} SGD steps (lr {args.lr}, warmup {warmup}), "
+        f"synthetic COCO ({len(dataset)} images, 8 classes), tiny "
+        "full-width CPM (CMM+ISM+RSM) — see tools/parity_experiment.py.",
+        "",
+        "## COCOeval with identical final weights",
+        "",
+        "| metric | reference (torch eval) | cpm_tpu (jax eval) | delta |",
+        "|---|---|---|---|",
+    ]
+    for k in ["AP", "AP50", "AP75", "APs", "APm", "APl",
+              "AP60", "AP70", "AP80", "AP90", "AR100"]:
+        r, o = ref_stats[k], ours_stats[k]
+        lines.append(f"| {k} | {r:.4f} | {o:.4f} | {o - r:+.4f} |")
+    lines += [
+        "",
+        f"## Lockstep loss overlay (first {len(overlay)} steps)",
+        "",
+        "Reference trains; at each step its CURRENT weights are imported",
+        "into the JAX model and our losses are computed on the SAME batch.",
+        "",
+        "| step | total (ref) | total (ours) | max rel err per-loss |",
+        "|---|---|---|---|",
+    ]
+    max_rel_overall = 0.0
+    for o in overlay:
+        rt = sum(o["ref"].values())
+        ot = sum(o["ours"].values())
+        rels = [
+            abs(o["ours"][k] - o["ref"][k]) / max(abs(o["ref"][k]), 1e-6)
+            for k in o["ref"]
+        ]
+        mr = max(rels)
+        max_rel_overall = max(max_rel_overall, mr)
+        if o["step"] % 5 == 0 or mr > 0.02:
+            lines.append(
+                f"| {o['step']} | {rt:.4f} | {ot:.4f} | {mr:.2%} |"
+            )
+    lines += [
+        "",
+        f"Max per-loss relative error across all overlay steps: "
+        f"**{max_rel_overall:.2%}**.",
+    ]
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(args.out.replace(".md", ".json"), "w") as f:
+        json.dump(dict(ref_stats=ref_stats, ours_stats=ours_stats,
+                       overlay=overlay), f, indent=1)
+    print(f"wrote {args.out}")
+    print("ref AP:", ref_stats["AP"], "ours AP:", ours_stats["AP"],
+          "max overlay rel err:", max_rel_overall)
+
+
+if __name__ == "__main__":
+    main()
