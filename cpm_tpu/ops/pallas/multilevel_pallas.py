@@ -141,26 +141,96 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                      ys_ref, xs_ref, *rest):
     feat_refs = rest[:nlvl]
     out_ref = rest[nlvl]
-    win_scratch = rest[nlvl + 1]
-    sem = rest[nlvl + 2]
+    win_scratch = rest[nlvl + 1]  # [2, WIN, WIN, C] double buffer
+    sem = rest[nlvl + 2]          # DMA semaphores, shape (2,)
     i = pl.program_id(0)
-    lvl = lvl_ref[i]
-    b = b_ref[i]
-    y0 = y0_ref[i]
-    # x origins are floor-aligned to 8 in _prep_rois; Mosaic needs the
-    # hint to prove the DMA slice offset is tile-aligned
-    x0 = pl.multiple_of(x0_ref[i], 8)
+    R = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
     C = win_scratch.shape[-1]
     sy, sx = ph * sr, pw * sr
 
+    # --- double-buffered window DMA -------------------------------
+    # Roi j's window tiles are DMA'd into scratch slot j%2 one grid
+    # step EARLY (prefetch at step j-1) and awaited just before j's
+    # matmuls, overlapping each roi's HBM window fetch with the
+    # previous roi's compute. Descriptors are reconstructed at wait
+    # time with identical arguments; per-slot semaphores keep the
+    # tile accounting of adjacent rois separate.
+    # Tiles beyond the roi's sample support (rows >= max(ys)+2 /
+    # cols >= max(xs)+2: bilinear hat weight 0 everywhere) are
+    # skipped under the SAME predicate at start and wait.
+    def window_tiles(l):
+        h, w = level_hw[l]
+        hw_, ww_ = min(WIN, h), min(WIN, w)
+        slab, half_w = 16, 32
+        tiles = []
+        for s in range(0, hw_, slab):
+            rows = min(slab, hw_ - s)
+            for c in range(0, ww_, half_w):
+                tiles.append((s, rows, c, min(half_w, ww_ - c)))
+        return hw_, ww_, tiles
+
+    def tile_copy(l, j, sl, s, rows, c, cols):
+        # x origins are floor-aligned to 8 in _prep_rois; Mosaic needs
+        # the hint to prove the DMA slice offset is tile-aligned
+        x0 = pl.multiple_of(x0_ref[j], 8)
+        return pltpu.make_async_copy(
+            feat_refs[l].at[
+                b_ref[j], pl.ds(y0_ref[j] + s, rows),
+                pl.ds(x0 + c, cols), :
+            ],
+            win_scratch.at[sl, pl.ds(s, rows), pl.ds(c, cols), :],
+            sem.at[sl],
+        )
+
+    def for_window(j, sl, start):
+        """Issue (start=True) or await the guarded tile DMAs of roi j."""
+        need_rows = jnp.max(ys_ref[j]).astype(jnp.int32) + 2
+        need_cols = jnp.max(xs_ref[j]).astype(jnp.int32) + 2
+
+        def branch(l):
+            hw_, ww_, tiles = window_tiles(l)
+
+            def do():
+                if start and (hw_ < WIN or ww_ < WIN):
+                    # stale scratch outside a small level's map gets
+                    # weight 0, but 0 * garbage must not be 0 * NaN
+                    win_scratch[pl.ds(sl, 1)] = jnp.zeros(
+                        (1,) + win_scratch.shape[1:], win_scratch.dtype
+                    )
+                for s, rows, c, cols in tiles:
+
+                    @pl.when((s < need_rows) & (c < need_cols))
+                    def _tile(s=s, rows=rows, c=c, cols=cols):
+                        d = tile_copy(l, j, sl, s, rows, c, cols)
+                        if start:
+                            d.start()
+                        else:
+                            d.wait()
+
+            return do
+
+        jax.lax.switch(lvl_ref[j], [branch(l) for l in range(nlvl)])
+
     # scratch VMEM is UNDEFINED at kernel start (can hold NaN bit
     # patterns on hardware, though interpret mode zeroes it); rows the
-    # dynamic slab skip never writes must start at 0 so their zero
-    # weights actually produce zeros. After the first step, stale rows
-    # hold a previous roi's (finite) features — also safe under weight 0.
+    # tile skip never writes must start at 0 so their zero weights
+    # actually produce zeros. After that, stale rows hold a previous
+    # roi's (finite) features — also safe under weight 0.
     @pl.when(i == 0)
-    def _init_scratch():
+    def _first():
         win_scratch[:] = jnp.zeros_like(win_scratch)
+
+        @pl.when(valid_ref[0] != 0)
+        def _start0():
+            for_window(0, 0, start=True)
+
+    # prefetch roi i+1's window into the other slot before computing
+    @pl.when(i + 1 < R)
+    def _prefetch():
+        @pl.when(valid_ref[i + 1] != 0)
+        def _start_next():
+            for_window(i + 1, jax.lax.rem(i + 1, 2), start=True)
 
     # masked (padding) rois skip the window DMA + matmuls entirely —
     # fixed-shape roi sets are often 40-70% padding on the train path
@@ -170,57 +240,14 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
 
     @pl.when(valid_ref[i] != 0)
     def _compute():
-        # rows/cols actually touched by this roi's samples: the hat
-        # weight of sample position p covers cells [floor(p), floor(p)+1],
-        # so rows >= max(ys)+2 / cols >= max(xs)+2 have weight 0 for
-        # every sample. Skipping their DMA tiles saves most of the 64x64
-        # window traffic for typical rois (a level-k roi spans ~14-28
-        # cells); the stale scratch they leave behind is multiplied by 0
-        # (never NaN after the first-step zero fill: features are finite).
-        need_rows = jnp.max(ys_ref[i]).astype(jnp.int32) + 2
-        need_cols = jnp.max(xs_ref[i]).astype(jnp.int32) + 2
-
-        def copy_branch(l):
-            h, w = level_hw[l]
-            hw_, ww_ = min(WIN, h), min(WIN, w)
-
-            def do():
-                if hw_ < WIN or ww_ < WIN:
-                    # stale scratch outside the window gets weight 0, but
-                    # 0 * garbage must not be 0 * NaN
-                    win_scratch[:] = jnp.zeros_like(win_scratch)
-                slab = 16
-                half_w = 32
-                for s in range(0, hw_, slab):
-                    rows = min(slab, hw_ - s)
-                    for c in range(0, ww_, half_w):
-                        cols = min(half_w, ww_ - c)
-
-                        @pl.when((s < need_rows) & (c < need_cols))
-                        def _copy(s=s, rows=rows, c=c, cols=cols):
-                            dma = pltpu.make_async_copy(
-                                feat_refs[l].at[
-                                    b, pl.ds(y0 + s, rows),
-                                    pl.ds(x0 + c, cols), :
-                                ],
-                                win_scratch.at[
-                                    pl.ds(s, rows), pl.ds(c, cols), :
-                                ],
-                                sem,
-                            )
-                            dma.start()
-                            dma.wait()
-
-            return do
-
-        jax.lax.switch(lvl, [copy_branch(l) for l in range(nlvl)])
+        for_window(i, slot, start=False)  # await this roi's tiles
 
         fd = win_scratch.dtype
         # matmuls in the feature dtype with f32 accumulation (MXU-native
         # for bf16); the window in its own dtype halves VMEM pressure
         wy = _hat_weights(ys_ref[i], WIN).astype(fd)  # [Sy, WIN]
         wx = _hat_weights(xs_ref[i], WIN).astype(fd)  # [Sx, WIN]
-        win = win_scratch[:]  # [WIN, WIN, C]
+        win = win_scratch[slot]  # [WIN, WIN, C]
         # contract y: [Sy, WIN] @ [WIN, WIN*C]
         t = jnp.dot(
             wy, win.reshape(WIN, WIN * C),
@@ -471,8 +498,9 @@ def _fwd(features, rois_levels, output_size, spatial_scales,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((WIN, WIN, C), features[0].dtype),
-            pltpu.SemaphoreType.DMA(()),
+            # double buffer: roi i+1's window DMA overlaps roi i's matmuls
+            pltpu.VMEM((2, WIN, WIN, C), features[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = partial(_fwd_kernel_body, level_hw_pad, nlvl, sr, ph, pw)

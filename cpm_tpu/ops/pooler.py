@@ -32,12 +32,15 @@ from cpm_tpu.structures.boxes import box_area
 # beyond the window).
 _BACKEND = "auto"
 
-# max rois per call routed through the gather-path exactness fallback
-# when their bilinear source cells overflow the Pallas kernel's WIN-cell
-# window (aspect ratio >~ 3.9). Overflow is vanishingly rare on real
-# proposal sets; beyond the cap, extra overflow rois keep the kernel's
-# zero-read behavior.
+# rois per call routed through the gather-path exactness fallback when
+# their bilinear source cells overflow the Pallas kernel's WIN-cell
+# window (aspect ratio >~ 3.9). The patch is tiered on the actual
+# overflow count (see Pooler.__call__): free when none, the small cap
+# for the occasional handful, the wide cap for adversarial sets.
+# tools/ab_deviations.py measures the real overflow rate on eval
+# proposal sets (~0).
 OVERFLOW_CAP = 16
+OVERFLOW_CAP_WIDE = 64
 
 
 def set_pooler_backend(name: str):
@@ -198,21 +201,51 @@ class Pooler:
                     )
                     & valid
                 )
-                cap = min(OVERFLOW_CAP, rois.shape[0])
-                oscore, oidx = jax.lax.top_k(
-                    over.astype(jnp.float32), cap
-                )
-                osel = oscore > 0.0
-                sub = multilevel_roi_align(
-                    list(features),
-                    rois[oidx],
-                    (levels - self.k_min)[oidx],
-                    self.output_size,
-                    self.scales,
-                    self.sampling_ratio,
-                ).astype(out.dtype)
-                out = out.at[oidx].set(
-                    jnp.where(osel[:, None, None, None], sub, out[oidx])
+                def _patch_overflow(cap):
+                    def patch(out):
+                        oscore, oidx = jax.lax.top_k(
+                            over.astype(jnp.float32), cap
+                        )
+                        osel = oscore > 0.0
+                        sub = multilevel_roi_align(
+                            list(features),
+                            rois[oidx],
+                            (levels - self.k_min)[oidx],
+                            self.output_size,
+                            self.scales,
+                            self.sampling_ratio,
+                        ).astype(out.dtype)
+                        return out.at[oidx].set(
+                            jnp.where(
+                                osel[:, None, None, None], sub, out[oidx]
+                            )
+                        )
+
+                    return patch
+
+                # tiered exactness patch: overflow is ~absent on
+                # realistic proposal sets (tools/ab_deviations.py
+                # measures the rate), so the usual cost is one popcount;
+                # a small patch covers the occasional handful (random
+                # jittered train rois), the wide one the adversarial
+                # tail. Only beyond OVERFLOW_CAP_WIDE rois does the
+                # kernel's zero-read behavior show through.
+                n_over = jnp.sum(over)
+                small = min(OVERFLOW_CAP, rois.shape[0])
+                wide = min(OVERFLOW_CAP_WIDE, rois.shape[0])
+
+                def _tier(out):
+                    if small == wide:
+                        return _patch_overflow(wide)(out)
+                    return jax.lax.cond(
+                        n_over <= small,
+                        _patch_overflow(small),
+                        _patch_overflow(wide),
+                        out,
+                    )
+
+                out = jax.lax.cond(
+                    n_over > 0, _tier, lambda o: o, out
                 )
             else:
                 out = multilevel_roi_align(

@@ -248,6 +248,16 @@ def ref_roi_align_backward(
 
 
 def install_reference_stubs():
+    import os
+
+    if not os.path.isdir("/root/reference/pet"):
+        import pytest
+
+        pytest.skip(
+            "reference tree /root/reference/pet not present — "
+            "oracle tests only run where the upstream checkout exists",
+            allow_module_level=True,
+        )
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     # the 2019-era reference uses numpy scalar aliases removed in 1.24

@@ -1,0 +1,62 @@
+"""Quick A/B: train-step ms only (bench.py's timing loop, nothing else).
+
+Prints ms/step over 3 runs of 8 chained steps (min reported) — for
+comparing kernel variants without the full bench's eval/host phases.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from cpm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from __graft_entry__ import _flagship_cfg
+    from cpm_tpu.data.synthetic import synthetic_batch
+    from cpm_tpu.engine.train import (
+        create_train_state,
+        jit_train_step,
+        make_train_step,
+    )
+    from cpm_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = _flagship_cfg(tiny=False)
+    cfg.RPN.PRE_NMS_TOP_N_TRAIN = 2000
+
+    n_dev = jax.local_device_count()
+    batch = synthetic_batch(
+        batch_size=2 * n_dev, height=832, width=1344,
+        max_gt=32, num_classes=81, seed=0,
+    )
+    mesh = make_mesh(n_dev)
+    model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step_fn = jit_train_step(make_train_step(cfg, model, tx), mesh)
+    steps = 8
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        for _ in range(3):
+            state, metrics = step_fn(state, sharded)
+            float(metrics["total_loss"])  # readout barrier (see bench.py)
+        times = []
+        for run in range(3):
+            t0 = time.time()
+            for _ in range(steps):
+                state, metrics = step_fn(state, sharded)
+            final = float(metrics["total_loss"])
+            times.append((time.time() - t0) / steps * 1e3)
+            assert np.isfinite(final), final
+        print(f"ms/step over 3 runs: {[f'{t:.1f}' for t in times]} "
+              f"min {min(times):.1f}")
+
+
+if __name__ == "__main__":
+    main()

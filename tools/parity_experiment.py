@@ -265,12 +265,17 @@ def main():
                 ours={k: float(v) for k, v in ours.items()},
             ))
 
+        if not np.isfinite(float(total)):
+            print(f"ABORT: non-finite total loss at step {step}")
+            sys.exit(1)
         opt.zero_grad()
         total.backward()
         opt.step()
         if step % 20 == 0:
             print(f"step {step}: ref total {float(total):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if step and step % 200 == 0:
+            torch.save(ref.state_dict(), args.ckpt)
 
     torch.save(ref.state_dict(), args.ckpt)
 
