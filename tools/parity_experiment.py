@@ -112,6 +112,15 @@ def our_cfg():
     for path, value in DELTAS:
         _set_path(cfg, path, value)
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    # Normalization alignment: this experiment feeds BOTH models raw
+    # 0..255 RGB (the torch side trains on raw floats and its eval-time
+    # AffineChannel2d uses 1/std with std=1 -> identity). Our framework's
+    # TO_BGR255=False convention is torchvision-style (scale to [0,1]
+    # before the mean/std affine, transforms.py:186 and
+    # model._normalize_uint8), so std=1/255 makes our host AND device
+    # normalizations the identity on raw pixels too. Without this the
+    # jax eval path sees 255x-darker images than the torch eval.
+    cfg.PIXEL_STDS = (1.0 / 255.0, 1.0 / 255.0, 1.0 / 255.0)
     return cfg
 
 
@@ -212,17 +221,25 @@ def main():
     ap.add_argument("--ckpt", default="/tmp/cpm_parity_ref.pt",
                     help="torch checkpoint path (resume if exists)")
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; eval the existing --ckpt and "
+                         "reuse the overlay from the existing json")
+    ap.add_argument("--label-steps", type=int, default=None,
+                    help="total trained steps for the report header "
+                         "(eval-only: the checkpoint's cumulative count)")
     args = ap.parse_args()
 
     import torch
 
     ref = build_reference()
-    if not args.fresh and os.path.exists(args.ckpt):
+    if (args.eval_only or not args.fresh) and os.path.exists(args.ckpt):
         ref.load_state_dict(torch.load(args.ckpt, weights_only=True))
         print(f"resumed from {args.ckpt}")
+    elif args.eval_only:
+        sys.exit(f"--eval-only but no checkpoint at {args.ckpt}")
     cfg = our_cfg()
     dataset = load_dataset()
-    batches = make_batches(dataset, args.steps)
+    batches = make_batches(dataset, 0 if args.eval_only else args.steps)
 
     from cpm_tpu.modeling.model import build_model
     from cpm_tpu.utils.weight_import import import_cpm_checkpoint
@@ -277,7 +294,14 @@ def main():
         if step and step % 200 == 0:
             torch.save(ref.state_dict(), args.ckpt)
 
-    torch.save(ref.state_dict(), args.ckpt)
+    if args.eval_only:
+        json_path = args.out.replace(".md", ".json")
+        if os.path.exists(json_path):
+            with open(json_path) as f:
+                overlay = json.load(f).get("overlay", [])
+            print(f"reusing {len(overlay)}-step overlay from {json_path}")
+    else:
+        torch.save(ref.state_dict(), args.ckpt)
 
     # ---- eval both with the final weights ----
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
@@ -337,7 +361,8 @@ def main():
     lines = [
         "# mAP / training-trajectory parity vs the reference torch model",
         "",
-        f"Recipe: {args.steps} SGD steps (lr {args.lr}, warmup {warmup}), "
+        f"Recipe: {args.label_steps or args.steps} SGD steps "
+        f"(lr {args.lr}, warmup {warmup}), "
         f"synthetic COCO ({len(dataset)} images, 8 classes), tiny "
         "full-width CPM (CMM+ISM+RSM) — see tools/parity_experiment.py.",
         "",
