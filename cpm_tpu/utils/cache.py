@@ -16,8 +16,26 @@ def enable_persistent_cache(cache_dir: str = None):
     if cache_dir is None:
         # key by machine + cpu so AOT executables cached on one host are
         # never loaded on another (XLA:CPU AOT results are
-        # machine-feature-specific and can SIGILL cross-machine)
-        tag = f"{platform.node()}-{platform.machine()}"
+        # machine-feature-specific and can SIGILL cross-machine).
+        # Hostname alone is NOT enough: fleet VMs share a node name but
+        # differ in CPU extensions (observed: cached code compiled with
+        # +amx-avx512-era flags SIGILLs on a host without them), so the
+        # actual cpuinfo flag set is hashed into the key.
+        feat = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        feat = line.split(":", 1)[1]
+                        break
+        except OSError:
+            pass
+        import hashlib
+
+        fhash = hashlib.sha1(
+            " ".join(sorted(feat.split())).encode()
+        ).hexdigest()[:10]
+        tag = f"{platform.node()}-{platform.machine()}-{fhash}"
         cache_dir = os.environ.get(
             "CPM_TPU_JAX_CACHE",
             os.path.join(
