@@ -79,9 +79,11 @@ def test_ml_soft_nms_respects_labels():
 
 
 def test_box_ml_voting_same_label_only():
+    # standard (no +1) IoU, as the reference's devIoU computes it
+    # (box_ml_voting.cu:14-26): IoU([0,0,10,10],[1,1,11,11]) = 81/119
     top = jnp.array([[0, 0, 10, 10]], jnp.float32)
     pool = jnp.array(
-        [[0, 0, 10, 10], [2, 2, 12, 12], [2, 2, 12, 12]], jnp.float32
+        [[0, 0, 10, 10], [1, 1, 11, 11], [1, 1, 11, 11]], jnp.float32
     )
     pool_scores = jnp.array([1.0, 1.0, 1.0])
     tl = jnp.array([1])
@@ -90,4 +92,6 @@ def test_box_ml_voting_same_label_only():
         top, jnp.array([0.9]), tl, pool, pool_scores, pl, thresh=0.5
     )
     # average of the two label-1 boxes only
-    np.testing.assert_allclose(np.asarray(voted[0]), [1, 1, 11, 11], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(voted[0]), [0.5, 0.5, 10.5, 10.5], atol=1e-5
+    )
