@@ -47,8 +47,7 @@ def main():
 
     import jax
 
-    from parity_experiment import DELTAS, _set_path, load_dataset
-    from cpm_tpu.config import get_default_cfg
+    from parity_experiment import load_dataset, our_cfg
     from cpm_tpu.engine.test import run_inference_on_dataset
     from cpm_tpu.evaluation.coco_eval import COCOEvaluator
     from cpm_tpu.modeling.model import build_model
@@ -69,9 +68,7 @@ def main():
     results = {}
     stats = {}
     for kernel in ("gather", "pallas"):
-        cfg = get_default_cfg()
-        for path, value in DELTAS:
-            _set_path(cfg, path, value)
+        cfg = our_cfg()
         cfg.TPU.POOLER_KERNEL = kernel
         cfg.TPU.COMPUTE_DTYPE = (
             "bfloat16" if backend == "tpu" else "float32"
@@ -116,37 +113,49 @@ def main():
     overflow = dict(total=0, over=0)
     orig_call = P.Pooler.__call__
 
+    def _accumulate(n_valid, n_over):
+        overflow["total"] += int(n_valid)
+        overflow["over"] += int(n_over)
+
     def audited(self, features, rois, roi_mask=None):
+        # runs under jit — counts leave the trace via debug.callback
         if len(features) > 1:
+            import jax as _jax
+            import jax.numpy as jnp
+
             levels = P.assign_fpn_levels(
                 rois[:, 1:5], self.k_min, self.k_max,
                 self.canonical_scale, self.canonical_level,
             )
-            over = np.asarray(window_overflow_mask(
+            over = window_overflow_mask(
                 features, rois, levels - self.k_min, self.output_size,
                 self.scales, self.sampling_ratio,
-            ))
-            valid = (
-                np.asarray(roi_mask).astype(bool)
-                if roi_mask is not None
-                else np.ones(len(over), bool)
             )
-            overflow["total"] += int(valid.sum())
-            overflow["over"] += int((over & valid).sum())
+            valid = (
+                roi_mask.astype(bool)
+                if roi_mask is not None
+                else jnp.ones(over.shape[0], bool)
+            )
+            _jax.debug.callback(
+                _accumulate,
+                jnp.sum(valid.astype(jnp.int32)),
+                jnp.sum((over & valid).astype(jnp.int32)),
+            )
         return orig_call(self, features, rois, roi_mask)
 
     P.Pooler.__call__ = audited
     try:
-        cfg = get_default_cfg()
-        for path, value in DELTAS:
-            _set_path(cfg, path, value)
+        cfg = our_cfg()
         cfg.TPU.POOLER_KERNEL = "gather"
         cfg.TPU.COMPUTE_DTYPE = "float32"
         params = import_cpm_checkpoint(sd, cfg)
         model = build_model(cfg)
-        run_inference_on_dataset(
-            cfg, model, params, dataset, progress_every=0
-        )
+        # the audit leg needs jax.debug.callback, which tunneled TPU
+        # backends don't support — pin it to the host CPU backend
+        with jax.default_device(jax.devices("cpu")[0]):
+            run_inference_on_dataset(
+                cfg, model, params, dataset, progress_every=0
+            )
     finally:
         P.Pooler.__call__ = orig_call
 
