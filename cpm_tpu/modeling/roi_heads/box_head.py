@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from cpm_tpu.modeling import registry
 from cpm_tpu.ops.box_coder import BoxCoder
-from cpm_tpu.ops.losses import smooth_l1_loss
+from cpm_tpu.ops.losses import smooth_l1_loss, softmax_cross_entropy
 from cpm_tpu.ops.nms import batched_nms, soft_nms
 from cpm_tpu.ops.pooler import Pooler
 from cpm_tpu.structures.boxes import clip_boxes_to_image
@@ -145,10 +145,10 @@ def fast_rcnn_losses(
     columns / total sampled (loss.py:149-162).
     """
     n_sampled = jnp.maximum(jnp.sum(sample_mask.astype(jnp.float32)), 1.0)
-    logp = jax.nn.log_softmax(class_logits, axis=-1)
     safe_labels = jnp.maximum(labels, 0)
-    ce = -jnp.take_along_axis(logp, safe_labels[:, None], axis=1)[:, 0]
-    loss_cls = jnp.sum(ce * sample_mask) / n_sampled
+    loss_cls = softmax_cross_entropy(
+        class_logits, labels, sample_mask.astype(bool)
+    )
 
     pos = sample_mask * (labels > 0)
     if cls_agnostic_bbox_reg:

@@ -32,7 +32,7 @@ from cpm_tpu.modeling.roi_heads.targets import (
     subsample_rois,
 )
 from cpm_tpu.ops.box_coder import BoxCoder
-from cpm_tpu.ops.losses import l2_loss
+from cpm_tpu.ops.losses import l2_loss, softmax_cross_entropy
 
 
 class CascadeStageOutput(nn.Module):
@@ -264,11 +264,9 @@ class CascadeRCNNHead(nn.Module):
         rois = rois_with_batch_index(sampled.boxes)
         x = self.rescore_head(features, rois, sampled.mask.reshape(-1))
         logits = self.rescore_output(x)
-        m = sampled.mask.reshape(-1).astype(logits.dtype)
-        labels = jnp.maximum(sampled.labels.reshape(-1), 0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-        loss = jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+        loss = softmax_cross_entropy(
+            logits, sampled.labels.reshape(-1), sampled.mask.reshape(-1)
+        )
         return dict(loss_rescore=cc.RESCORE_LOSS_WEIGHT * loss)
 
     def _forward_test(self, features, proposals, prop_mask, image_sizes):

@@ -48,7 +48,7 @@ from cpm_tpu.modeling.roi_heads.targets import (
     subsample_rois,
 )
 from cpm_tpu.ops.box_coder import BoxCoder
-from cpm_tpu.ops.losses import ism_l2_loss
+from cpm_tpu.ops.losses import ism_l2_loss, softmax_cross_entropy
 from cpm_tpu.ops.pooler import Pooler
 from cpm_tpu.structures.boxes import box_iou
 from cpm_tpu.utils.matcher import match_boxes
@@ -203,11 +203,9 @@ class GridCascadeRCNNHead(nn.Module):
         rois = rois_with_batch_index(sampled.boxes)
         x = self.cls_head(features, rois, sampled.mask.reshape(-1))
         logits = self.cls_output(x)
-        m = sampled.mask.reshape(-1).astype(logits.dtype)
-        labels = jnp.maximum(sampled.labels.reshape(-1), 0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-        loss_cls = jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+        loss_cls = softmax_cross_entropy(
+            logits, sampled.labels.reshape(-1), sampled.mask.reshape(-1)
+        )
         return sampled, dict(loss_classifier=loss_cls)
 
     def _stage_match(self, stage, boxes, mask, gt):
@@ -467,11 +465,9 @@ class GridCascadeRCNNHead(nn.Module):
         rois = rois_with_batch_index(sampled.boxes)
         x = self.rescore_head(features, rois, sampled.mask.reshape(-1))
         logits = self.rescore_output(x)
-        m = sampled.mask.reshape(-1).astype(logits.dtype)
-        labels = jnp.maximum(sampled.labels.reshape(-1), 0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-        loss = jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+        loss = softmax_cross_entropy(
+            logits, sampled.labels.reshape(-1), sampled.mask.reshape(-1)
+        )
         return dict(loss_rescore=g.RESCORE_LOSS_WEIGHT * loss)
 
     # ---------------- test ----------------

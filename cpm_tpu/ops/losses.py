@@ -94,15 +94,22 @@ def softmax_cross_entropy(
     labels: jnp.ndarray,
     mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Mean CE over valid entries; labels are int class ids."""
+    """Mean CE over valid entries; labels are int class ids.
+
+    Robust to padding rows: labels are clipped into [0, C) (an
+    out-of-range label under jit hits the gather's NaN fill and poisons
+    the mean), and masked entries are neutralized with `where` — with
+    `nll * mask`, a masked row whose nll is inf turns into 0*inf = NaN.
+    """
+    labels = jnp.clip(labels.astype(jnp.int32), 0, logits.shape[-1] - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[
-        ..., 0
-    ]
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     if mask is None:
         return jnp.mean(nll)
-    m = mask.astype(nll.dtype)
-    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    nll = jnp.where(mask, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(
+        jnp.sum(mask.astype(nll.dtype)), 1.0
+    )
 
 
 def binary_cross_entropy_with_logits(
