@@ -86,3 +86,30 @@ def test_alternative_necks_shapes():
         # resolution halves per level
         hs = [o.shape[1] for o in outs]
         assert hs == [16, 8, 4, 2, 1], hs
+
+
+def test_masked_softmax_ce_robustness():
+    """softmax_cross_entropy must survive garbage padding rows: inf
+    logits on masked rows (0*inf=NaN with multiply-masking) and
+    out-of-range labels (jit gather NaN-fill) — regression for the NaN
+    that poisoned loss_classifier whenever labels exceeded NUM_CLASSES."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpm_tpu.ops.losses import softmax_cross_entropy
+
+    logits = jnp.array(
+        [[0.0, 1.0, 2.0],      # valid row
+         [jnp.inf, -jnp.inf, 0.0],  # masked garbage row
+         [0.5, 0.5, 0.5]],     # valid row with OOB label
+    )
+    labels = jnp.array([1, 0, 80])  # 80 >> num classes
+    mask = jnp.array([True, False, True])
+    loss = softmax_cross_entropy(logits, labels, mask)
+    assert np.isfinite(float(loss))
+    # valid rows only: row0 CE at label 1, row2 CE at clipped label 2
+    lp0 = jax.nn.log_softmax(logits[0])[1]
+    lp2 = jax.nn.log_softmax(logits[2])[2]
+    np.testing.assert_allclose(
+        float(loss), float(-(lp0 + lp2) / 2.0), rtol=1e-6
+    )
