@@ -35,12 +35,18 @@ assert jax.process_count() == 2, jax.process_count()
 assert jax.device_count() == 4, jax.device_count()
 assert jax.local_device_count() == 2
 
-# Establish the Gloo context NOW, while both ranks are milliseconds
-# apart: the context rendezvous has a hard 30s KeyValue timeout, and the
-# train-step compile below can skew the ranks by minutes on a loaded
-# 1-core CI box (observed flake).
-from jax.experimental import multihost_utils
-multihost_utils.sync_global_devices("warmup")
+# Rank-skew discipline: every gloo collective (context rendezvous AND
+# each op) has a hard 30s timeout that is not configurable through
+# make_gloo_tcp_collectives, so no rank may reach a collective more
+# than 30s before its peer. Tracing+compiling the train step can skew
+# the ranks by minutes on a loaded 1-core CI box (observed flake), so
+# the step is AOT-compiled (purely local work) and the ranks re-sync on
+# the coordination-service barrier — which has its own, configurable
+# timeout and does not touch gloo — right before the first execution.
+from jax._src import distributed
+_client = distributed.global_state.client
+_BARRIER_MS = 600_000
+_client.wait_at_barrier("init", _BARRIER_MS)
 
 sys.path.insert(0, os.getcwd())  # launched with cwd=/root/repo
 import numpy as np
@@ -62,7 +68,9 @@ step = jit_train_step(make_train_step(cfg, model, tx), mesh)
 with mesh:
     sharded = shard_batch(local, mesh)
     assert sharded["images"].shape[0] == 4  # global batch assembled
-    state1, metrics = step(state, sharded)
+    compiled = step.lower(state, sharded).compile()  # local, no comms
+    _client.wait_at_barrier("compiled", _BARRIER_MS)
+    state1, metrics = compiled(state, sharded)
     jax.block_until_ready(metrics)
 total = float(metrics["total_loss"])
 assert np.isfinite(total)
