@@ -194,6 +194,16 @@ def main():
         "train-time proposal pre-NMS ranking, where the sampled-proposal "
         "distribution, not any single ranking, drives learning.",
     ]
+    # carry forward the one-off adversarial-distribution audit recorded
+    # in the existing doc (delimited block) — it is not re-measured here
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = f.read()
+        beg = old.find("<!-- adversarial-audit:begin")
+        end = old.find("<!-- adversarial-audit:end -->")
+        if beg != -1 and end != -1:
+            block = old[beg:end + len("<!-- adversarial-audit:end -->")]
+            lines += ["", block]
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=0.002)
     ap.add_argument("--out", default="docs/PARITY_MAP.md")
+    ap.add_argument("--trunk-from", default=None,
+                    help="torch checkpoint to import backbone+fpn from "
+                         "(the reference's pretrained-trunk deployment "
+                         "shape: frozen-BN trunks are meant to start "
+                         "from pretrained weights, not from scratch)")
     args = ap.parse_args()
 
     from parity_experiment import load_dataset, make_batches, our_cfg
@@ -98,6 +103,25 @@ def main():
     model, tx, state = create_train_state(
         cfg, jax.random.PRNGKey(0), to_canonical(batches[0])
     )
+    if args.trunk_from:
+        import torch
+
+        from cpm_tpu.utils.weight_import import import_cpm_checkpoint
+
+        sd = {
+            k: v.numpy()
+            for k, v in torch.load(
+                args.trunk_from, weights_only=True
+            ).items()
+        }
+        imported = import_cpm_checkpoint(sd, cfg)
+        params = dict(state.params)
+        for part in ("backbone", "fpn"):
+            params[part] = imported[part]
+        state = state.replace(params=jax.device_put(params)) \
+            if hasattr(state, "replace") else state._replace(
+                params=jax.device_put(params))
+        print(f"imported trunk (backbone+fpn) from {args.trunk_from}")
     step_fn = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
     t0 = time.time()
