@@ -376,6 +376,11 @@ def _new_defaults():
     # on device (the reference's in-model AffineChannel2d design,
     # model_builder.py:24-28); False = host-side f32 normalization
     C.TPU.DEVICE_NORMALIZE = True
+    # space-to-batch grid towers: tile the per-roi 7x7/14x14 feature
+    # maps into one zero-gapped canvas so the 3x3/5x5 tower convs run
+    # at large spatial extent on the MXU (exact: the gaps reproduce
+    # per-roi zero padding). See grid_modules.tile_rois.
+    C.TPU.TILED_TOWERS = False
 
     return C
 

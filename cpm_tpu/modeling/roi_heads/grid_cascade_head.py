@@ -148,6 +148,7 @@ class GridCascadeRCNNHead(nn.Module):
                     fused_on=g.FUSED_ON,
                     finest_level_only=g.FINEST_LEVEL_ROI,
                     offset_on=g.OFFSET_ON,
+                    tiled=getattr(c.TPU, "TILED_TOWERS", False),
                     name=f"grid_head_{s}",
                 )
             )

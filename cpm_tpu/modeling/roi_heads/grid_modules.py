@@ -30,6 +30,62 @@ from flax import linen as nn
 from cpm_tpu.ops.pooler import Pooler
 
 
+# ---- space-to-batch roi tiling (TPU.TILED_TOWERS) --------------------
+#
+# The grid towers run 3x3/5x5 convs over hundreds of tiny 7x7 (or 14x14)
+# roi feature maps. XLA maps such batched-small-spatial convs onto the
+# MXU at ~40% utilization (measured, docs/PROFILE.md). Tiling the rois
+# into ONE large canvas with zero gaps turns them into a single
+# large-spatial conv the MXU tiles well — and a zero gap of
+# (kernel-1)//2 pixels between blocks makes the canvas conv EXACTLY
+# per-roi zero padding: a roi-edge output pixel reads the gap's zeros,
+# which is what padding would have supplied, and gap/padded-block
+# outputs are discarded by the un-tiling slice. Stride-2 convs need an
+# even pitch so block output offsets stay integral. GroupNorm stays
+# per-roi (its statistics must not mix rois), so each layer re-tiles
+# from per-roi tensors — which also re-zeroes the gaps.
+
+
+def tile_rois(x: jnp.ndarray, pitch: int):
+    """[R, s, s, C] -> ([1, gh*pitch, gw*pitch, C], (gh, gw)).
+
+    Blocks are laid out row-major on a near-square grid at `pitch`
+    (block size + zero gap); the grid's padding blocks are all-zero.
+    """
+    R, s = x.shape[0], x.shape[1]
+    gw = max(1, math.isqrt(R))
+    if gw * gw < R:
+        gw += 1
+    gh = -(-R // gw)
+    x = jnp.pad(
+        x, ((0, gh * gw - R), (0, pitch - s), (0, pitch - s), (0, 0))
+    )
+    x = x.reshape(gh, gw, pitch, pitch, x.shape[-1])
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(1, gh * pitch, gw * pitch, x.shape[-1]), (gh, gw)
+
+
+def untile_rois(
+    y: jnp.ndarray, grid: Tuple[int, int], s: int, pitch: int, num_rois: int
+) -> jnp.ndarray:
+    """Inverse of tile_rois for an output canvas at `pitch`: extract the
+    [s, s] block interiors -> [num_rois, s, s, C] (gaps discarded)."""
+    gh, gw = grid
+    C = y.shape[-1]
+    y = y.reshape(gh, pitch, gw, pitch, C).transpose(0, 2, 1, 3, 4)
+    return y[:, :, :s, :s].reshape(gh * gw, s, s, C)[:num_rois]
+
+
+def _gap_mask(grid: Tuple[int, int], s: int, pitch: int) -> jnp.ndarray:
+    """[1, gh*pitch, gw*pitch, 1] canvas mask: 1 in block interiors,
+    0 in the gaps (to re-zero conv spill between chained canvas convs)."""
+    gh, gw = grid
+    row = (jnp.arange(pitch) < s).astype(jnp.float32)
+    m = row[:, None] * row[None, :]
+    m = jnp.tile(m, (gh, gw))
+    return m[None, :, :, None]
+
+
 def get_neighbor_points(grid_size: int) -> List[Tuple[int, ...]]:
     """4-neighborhood in the reference's column-major point order
     (grid_heads.py:89-103: index = i * grid_size + j, i = column)."""
@@ -105,6 +161,8 @@ class GridHead(nn.Module):
     fused_on: bool = True
     finest_level_only: bool = False
     offset_on: bool = False
+    # space-to-batch tiling of the tower/fusion convs (TPU.TILED_TOWERS)
+    tiled: bool = False
 
     @nn.compact
     def __call__(self, features, rois, roi_mask=None, *, pooled=None):
@@ -152,10 +210,22 @@ class GridHead(nn.Module):
 
         for i in range(self.num_convs):
             stride = 2 if i == 0 else 1
-            x = nn.Conv(
+            conv = nn.Conv(
                 cout, (3, 3), strides=(stride, stride), padding=1,
                 name=f"conv{i}",
-            )(x)
+            )
+            s_in = x.shape[1]
+            # stride-2 tiling needs an even block pitch (s_in + 2);
+            # fall back to the per-roi conv for odd sizes
+            if self.tiled and (stride == 1 or s_in % 2 == 0):
+                pitch_in = s_in + (2 if stride == 2 else 1)
+                xt, grid = tile_rois(x, pitch_in)
+                y = conv(xt)
+                x = untile_rois(
+                    y, grid, s_in // stride, pitch_in // stride, x.shape[0]
+                )
+            else:
+                x = conv(x)
             x = nn.GroupNorm(
                 num_groups=4 * P, epsilon=1e-5, name=f"gn{i}"
             )(x)
@@ -171,24 +241,41 @@ class GridHead(nn.Module):
         def point(feat, p):
             return feat[..., p * c : (p + 1) * c]
 
+        # Tiled fusion: one canvas at gap 2 (the 5x5 depthwise reads 2 px
+        # across a block edge) shared by all ~48 transition convs; the
+        # first-order sums' gap spill is re-zeroed before the
+        # second-order convs read it, preserving per-roi zero-padding
+        # semantics. Un-tile once at the end.
+        if self.tiled:
+            R, s = x.shape[0], x.shape[1]
+            xf, grid = tile_rois(x, s + 2)
+            rezero = _gap_mask(grid, s, s + 2).astype(x.dtype)
+        else:
+            xf = x
+
         x_fo = []
         for i, pts in enumerate(neighbors):
-            acc = point(x, i)
+            acc = point(xf, i)
             for j, p_idx in enumerate(pts):
                 acc = acc + TransitionConv(c, name=f"forder_{i}_{j}")(
-                    point(x, p_idx)
+                    point(xf, p_idx)
                 )
             x_fo.append(acc)
+        if self.tiled:
+            x_fo = [f * rezero for f in x_fo]
 
         x_so = []
         for i, pts in enumerate(neighbors):
-            acc = point(x, i)
+            acc = point(xf, i)
             for j, p_idx in enumerate(pts):
                 acc = acc + TransitionConv(c, name=f"sorder_{i}_{j}")(
                     x_fo[p_idx]
                 )
             x_so.append(acc)
-        return x, jnp.concatenate(x_so, axis=-1), x_offset
+        x_so = jnp.concatenate(x_so, axis=-1)
+        if self.tiled:
+            x_so = untile_rois(x_so, grid, s, s + 2, R)
+        return x, x_so, x_offset
 
 
 class GridOutput(nn.Module):
