@@ -2,8 +2,14 @@
 
 Prints ms/step over 3 runs of 8 chained steps (min reported) — for
 comparing kernel variants without the full bench's eval/host phases.
+
+Trailing `KEY VALUE` pairs override the flagship config, e.g.
+    python tools/bench_train_only.py TPU.TILED_TOWERS True
+    python tools/bench_train_only.py TPU.POOLER_KERNEL gather
+Optional `--gt N` caps the valid gt per image (realistic-density point).
 """
 
+import argparse
 import os
 import sys
 import time
@@ -14,6 +20,12 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gt", type=int, default=None,
+                    help="cap valid gt per image (realistic density ~6)")
+    ap.add_argument("opts", nargs="*", help="cfg KEY VALUE overrides")
+    args = ap.parse_args()
+
     import jax
 
     from cpm_tpu.utils.cache import enable_persistent_cache
@@ -21,6 +33,7 @@ def main():
     enable_persistent_cache()
 
     from __graft_entry__ import _flagship_cfg
+    from cpm_tpu.config import merge_cfg_from_list
     from cpm_tpu.data.synthetic import synthetic_batch
     from cpm_tpu.engine.train import (
         create_train_state,
@@ -31,12 +44,20 @@ def main():
 
     cfg = _flagship_cfg(tiny=False)
     cfg.RPN.PRE_NMS_TOP_N_TRAIN = 2000
+    if args.opts:
+        merge_cfg_from_list(args.opts, cfg)
+        print(f"# overrides: {args.opts}")
 
     n_dev = jax.local_device_count()
     batch = synthetic_batch(
         batch_size=2 * n_dev, height=832, width=1344,
         max_gt=32, num_classes=81, seed=0,
     )
+    if args.gt is not None:
+        gm = np.array(batch["gt_mask"])
+        gm[:, args.gt:] = False
+        batch = dict(batch, gt_mask=gm)
+        print(f"# gt capped to {args.gt}/image")
     mesh = make_mesh(n_dev)
     model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     step_fn = jit_train_step(make_train_step(cfg, model, tx), mesh)
