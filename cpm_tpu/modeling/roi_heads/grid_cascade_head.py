@@ -162,6 +162,7 @@ class GridCascadeRCNNHead(nn.Module):
                     se_on=g.SE_ON,
                     fused_on=g.FUSED_ON,
                     offset_on=g.OFFSET_ON,
+                    tiled=getattr(c.TPU, "TILED_TOWERS", False),
                     name=f"grid_output_{s}",
                 )
             )

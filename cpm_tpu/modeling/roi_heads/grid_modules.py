@@ -287,6 +287,12 @@ class GridOutput(nn.Module):
     se_on: bool = False
     fused_on: bool = True
     offset_on: bool = False
+    # space-to-batch tiling of the grouped deconvs (TPU.TILED_TOWERS):
+    # a canvas gap of 1 block pixel dilates (lhs_dilation=2) to 3 zeros,
+    # which covers the k4 kernel's 3-cell reach across a block edge —
+    # exactly the per-roi padding-2 adjoint semantics. GroupNorm and the
+    # SE block (per-roi global pooling) stay per-roi between deconvs.
+    tiled: bool = False
 
     @nn.compact
     def __call__(self, x, x_so, x_offset=None, train: bool = False):
@@ -317,14 +323,22 @@ class GridOutput(nn.Module):
         )
         norm1 = nn.GroupNorm(num_groups=P, name="norm1")
 
+        def deconv_maybe_tiled(h, kernel, bias):
+            if not self.tiled:
+                return grouped_deconv(h, kernel, bias, P)
+            R, s = h.shape[0], h.shape[1]
+            ht, grid = tile_rois(h, s + 1)
+            y = grouped_deconv(ht, kernel, bias, P)
+            return untile_rois(y, grid, 2 * s, 2 * (s + 1), R)
+
         def decode_tower(h):
-            h = grouped_deconv(h, deconv1_k, deconv1_b, P)
+            h = deconv_maybe_tiled(h, deconv1_k, deconv1_b)
             h = nn.relu(norm1(h))
             if self.se_on:
                 from cpm_tpu.modeling.context import SeBlock
 
                 h = SeBlock(cout, max(1, int(cout * 0.0625)), name="se")(h)
-            return grouped_deconv(h, deconv2_k, deconv2_b, P)
+            return deconv_maybe_tiled(h, deconv2_k, deconv2_b)
 
         heatmap_fused = None
         if self.fused_on and x_so is not None:

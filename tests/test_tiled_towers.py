@@ -15,6 +15,7 @@ import pytest
 
 from cpm_tpu.modeling.roi_heads.grid_modules import (
     GridHead,
+    GridOutput,
     tile_rois,
     untile_rois,
 )
@@ -76,6 +77,31 @@ def test_tiled_tower_gradients_match():
     g_t = jax.grad(lambda x: loss(tiled_head, params, x))(pooled)
     np.testing.assert_allclose(
         np.asarray(g_t), np.asarray(g_r), rtol=1e-3, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("num_rois", [1, 5, 32])
+def test_tiled_grid_output_matches_per_roi(num_rois):
+    rng = np.random.RandomState(num_rois)
+    c = 8
+    x = jnp.asarray(rng.randn(num_rois, 7, 7, 9 * c).astype(np.float32))
+    x_so = jnp.asarray(
+        rng.randn(num_rois, 7, 7, 9 * c).astype(np.float32)
+    )
+    mk = lambda t: GridOutput(
+        grid_points=9, point_feat_channels=c, iou_helper=True, tiled=t
+    )
+    params = mk(False).init(jax.random.PRNGKey(0), x, x_so, train=True)[
+        "params"
+    ]
+    hm_r, iou_r = mk(False).apply({"params": params}, x, x_so, train=True)
+    hm_t, iou_t = mk(True).apply({"params": params}, x, x_so, train=True)
+    for k in ("fused", "unfused"):
+        np.testing.assert_allclose(
+            np.asarray(hm_t[k]), np.asarray(hm_r[k]), rtol=1e-4, atol=1e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(iou_t), np.asarray(iou_r), rtol=1e-5, atol=1e-5
     )
 
 
