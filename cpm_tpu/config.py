@@ -211,6 +211,32 @@ def _new_defaults():
     C.FPN.USE_BN = False
     C.FPN.USE_GN = False
 
+    # HRFPN body (reference config.py:631-649)
+    C.FPN.HRFPN = AttrDict()
+    C.FPN.HRFPN.DIM = 256
+    C.FPN.HRFPN.POOLING_TYPE = "AVG"
+    C.FPN.HRFPN.NUM_EXTRA_POOLING = 1
+    C.FPN.HRFPN.USE_LITE = False
+    C.FPN.HRFPN.USE_BN = False
+    C.FPN.HRFPN.USE_GN = False
+
+    # NASFPN body (reference config.py:654-672)
+    C.FPN.NASFPN = AttrDict()
+    C.FPN.NASFPN.NUM_STACK = 7
+    C.FPN.NASFPN.DIM = 256
+    C.FPN.NASFPN.USE_LITE = False
+    C.FPN.NASFPN.USE_BN = False
+    C.FPN.NASFPN.USE_GN = False
+
+    # BiFPN body (reference config.py:608-626)
+    C.FPN.BIFPN = AttrDict()
+    C.FPN.BIFPN.NUM_STACK = 7
+    C.FPN.BIFPN.DIM = 256
+    C.FPN.BIFPN.EPS = 1e-4
+    C.FPN.BIFPN.USE_LITE = False
+    C.FPN.BIFPN.USE_BN = False
+    C.FPN.BIFPN.USE_GN = False
+
     # ---- RPN ----
     C.RPN = AttrDict()
     C.RPN.ANCHOR_SIZES = (32, 64, 128, 256, 512)

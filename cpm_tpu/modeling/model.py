@@ -20,6 +20,7 @@ from flax import linen as nn
 from cpm_tpu.modeling import registry
 import cpm_tpu.modeling.backbone  # noqa: F401  (registers backbones)
 import cpm_tpu.modeling.roi_heads.c4_heads  # noqa: F401  (registers C4 heads)
+import cpm_tpu.modeling.necks_extra  # noqa: F401  (registers hrfpn/nasfpn/bifpn)
 from cpm_tpu.modeling.fpn import get_min_max_levels
 from cpm_tpu.modeling.roi_heads.box_head import (
     BoxOutput,

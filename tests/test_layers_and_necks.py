@@ -77,8 +77,8 @@ def test_sync_bn_and_mixture_norm():
 
 def test_alternative_necks_shapes():
     feats = _feats()
-    for neck in [HRFPN(fpn_dim=16), BiFPN(fpn_dim=16, num_layers=1),
-                 NASFPN(fpn_dim=16)]:
+    for neck in [HRFPN(fpn_dim=16), BiFPN(fpn_dim=16, num_stack=1),
+                 NASFPN(fpn_dim=16, num_stack=1)]:
         p = neck.init(jax.random.PRNGKey(0), feats)
         outs = neck.apply(p, feats)
         assert len(outs) == 5
