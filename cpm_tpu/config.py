@@ -168,6 +168,7 @@ def _new_defaults():
     C.BACKBONE.RESNET.BOTTLENECK = True
     C.BACKBONE.RESNET.STRIDE_3X3 = False
     C.BACKBONE.RESNET.USE_3x3x3HEAD = False
+    C.BACKBONE.RESNET.USE_ALIGN = False  # AlignedBottleneck (ref config.py:470)
     C.BACKBONE.RESNET.AVG_DOWN = False
     C.BACKBONE.RESNET.USE_GN = False
     C.BACKBONE.RESNET.STAGE_WITH_CONTEXT = ("none", "none", "none", "none")
@@ -184,6 +185,7 @@ def _new_defaults():
     C.BACKBONE.RESNEXT.C = 32
     C.BACKBONE.RESNEXT.WIDTH = 4
     C.BACKBONE.RESNEXT.USE_3x3x3HEAD = False
+    C.BACKBONE.RESNEXT.USE_ALIGN = False  # AlignedBottleneck (ref config.py:523)
     C.BACKBONE.RESNEXT.AVG_DOWN = False
     C.BACKBONE.RESNEXT.USE_GN = False
     C.BACKBONE.RESNEXT.STAGE_WITH_CONTEXT = ("none", "none", "none", "none")

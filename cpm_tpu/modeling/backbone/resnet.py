@@ -145,6 +145,101 @@ class Bottleneck(nn.Module):
         return nn.relu(h + r)
 
 
+class AlignedBottleneck(nn.Module):
+    """Two-branch aligned bottleneck (BACKBONE.*.USE_ALIGN).
+
+    Mirrors resnet.py:139-217 / resnext.py:88-170: branch1 = 1x1 -> 3x3
+    (stride), branch2 = 1x1 (half width) -> 3x3 (stride) -> 3x3, concat,
+    norm+relu, 1x1 projection, optional context, residual. The stride
+    always sits on the 3x3s. `groups`>1 gives the ResNeXt variant
+    (branch2 runs at groups//2, resnext.py:122)."""
+
+    planes: int
+    base_width: int = 64
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    norm: str = "affine"
+    conv: str = "normal"
+    context: str = "none"
+    ctx_ratio: float = 0.0625
+    stride_3x3: bool = False  # unused: stride is always on the 3x3s
+    avg_down: bool = False
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        if self.groups == 1:
+            width = int(self.planes * (self.base_width / 64.0))
+        else:
+            width = int(
+                math.floor(self.planes * (self.base_width / 64.0))
+                * self.groups
+            )
+        half = width // 2
+        g1, g2 = self.groups, max(self.groups // 2, 1)
+        out_dim = self.planes * self.expansion
+
+        def conv3(features, stride, groups, name):
+            if self.conv == "normal" and groups > 1:
+                return nn.Conv(
+                    features, (3, 3), strides=(stride, stride),
+                    padding=self.dilation,
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=groups, use_bias=False, name=name,
+                )
+            return _conv_op(self.conv, features, stride, self.dilation, name)
+
+        b1 = nn.Conv(width, (1, 1), use_bias=False, name="conv1_1")(x)
+        b1 = make_norm(width, self.norm)(b1)
+        b1 = nn.relu(b1)
+        b1 = conv3(width, self.stride, g1, "conv1_2")(b1)
+
+        b2 = nn.Conv(half, (1, 1), use_bias=False, name="conv2_1")(x)
+        b2 = make_norm(half, self.norm)(b2)
+        b2 = nn.relu(b2)
+        b2 = conv3(half, self.stride, g2, "conv2_2")(b2)
+        b2 = make_norm(half, self.norm)(b2)
+        b2 = nn.relu(b2)
+        b2 = conv3(half, 1, g2, "conv2_3")(b2)
+
+        h = jnp.concatenate([b1, b2], axis=-1)
+        h = make_norm(width + half, self.norm)(h)
+        h = nn.relu(h)
+
+        h = nn.Conv(out_dim, (1, 1), use_bias=False, name="conv")(h)
+        h = make_norm(out_dim, self.norm)(h)
+
+        ctx = make_context(out_dim, self.context, self.ctx_ratio)
+        if ctx is not None:
+            h = ctx(h)
+
+        if self.downsample:
+            r = x
+            if self.avg_down and self.stride > 1:
+                r = nn.avg_pool(
+                    r,
+                    (self.stride, self.stride),
+                    strides=(self.stride, self.stride),
+                )
+                r = nn.Conv(
+                    out_dim, (1, 1), use_bias=False, name="downsample_conv"
+                )(r)
+            else:
+                r = nn.Conv(
+                    out_dim,
+                    (1, 1),
+                    strides=(self.stride, self.stride),
+                    use_bias=False,
+                    name="downsample_conv",
+                )(r)
+            r = make_norm(out_dim, self.norm)(r)
+        else:
+            r = x
+        return nn.relu(h + r)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs with residual (resnet.py:14-68)."""
 
@@ -196,6 +291,7 @@ class ResNetBody(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     bottleneck: bool = True
+    aligned: bool = False  # USE_ALIGN: AlignedBottleneck blocks
     groups: int = 1  # ResNeXt cardinality; 1 = plain ResNet
     stride_3x3: bool = False
     avg_down: bool = False
@@ -260,7 +356,10 @@ class ResNetBody(nn.Module):
         if len(self.layers) == 4 and self.c5_dilation != 1:
             strides = (1, 2, 2, 1)
             dilations[3] = self.c5_dilation
-        block_cls = Bottleneck if self.bottleneck else BasicBlock
+        if self.bottleneck:
+            block_cls = AlignedBottleneck if self.aligned else Bottleneck
+        else:
+            block_cls = BasicBlock
         for i, n_blocks in enumerate(self.layers):
             for b in range(n_blocks):
                 kw: Any = dict(
@@ -294,6 +393,7 @@ def build_resnet(cfg):
         layers=tuple(r.LAYERS),
         width=r.WIDTH,
         bottleneck=r.BOTTLENECK,
+        aligned=r.USE_ALIGN,
         groups=1,
         stride_3x3=r.STRIDE_3X3,
         avg_down=r.AVG_DOWN,
@@ -318,6 +418,7 @@ def build_resnet_c4(cfg):
         layers=tuple(r.LAYERS)[:3],
         width=r.WIDTH,
         bottleneck=r.BOTTLENECK,
+        aligned=r.USE_ALIGN,
         groups=1,
         stride_3x3=r.STRIDE_3X3,
         avg_down=r.AVG_DOWN,
@@ -338,6 +439,7 @@ def build_resnext(cfg):
         layers=tuple(r.LAYERS),
         width=r.WIDTH,
         bottleneck=True,
+        aligned=r.USE_ALIGN,
         groups=r.C,
         stride_3x3=True,  # ResNeXt puts the stride on the grouped 3x3
         avg_down=r.AVG_DOWN,
