@@ -291,7 +291,20 @@ def main():
     loader_ips = measure_loader_throughput(cfg)
     pool_scaling = measure_pool_scaling()
 
-    per_chip = train_ips / n_dev
+    # Headline = the realistic-density point (~6 gt/image): the baseline
+    # it is compared against (BASELINE_TRAIN_IPS_PER_CHIP, the reference
+    # recipe's 8x TITAN RTX run) trains on real COCO at ~7 objects/image,
+    # so this is the apples-to-apples operating point. The dense
+    # max_gt=32 synthetic worst case is kept as step_ms_dense /
+    # train_dense_* for continuity with BENCH_r01 (whose headline was
+    # dense: 16.44 img/s/chip, 121.6 ms/step).
+    per_chip_dense = train_ips / n_dev
+    if train_ips_realistic:
+        per_chip = train_ips_realistic / n_dev
+        step_ms = rt_dt / steps * 1e3
+    else:
+        per_chip = per_chip_dense
+        step_ms = train_dt / steps * 1e3
     print(
         json.dumps(
             dict(
@@ -302,15 +315,11 @@ def main():
                 infer_images_per_sec_per_chip=round(infer_ips, 3),
                 infer_batch4_images_per_sec_per_chip=round(infer_b4_ips, 3),
                 infer_batch1_latency_ms=round(infer_lat_ms, 1),
-                step_ms=round(train_dt / steps * 1e3, 1),
-                train_realistic_images_per_sec_per_chip=(
-                    round(train_ips_realistic / n_dev, 3)
-                    if train_ips_realistic
-                    else None
+                step_ms=round(step_ms, 1),
+                train_dense_images_per_sec_per_chip=round(
+                    per_chip_dense, 3
                 ),
-                step_ms_realistic=(
-                    round(rt_dt / steps * 1e3, 1) if rt_dt else None
-                ),
+                step_ms_dense=round(train_dt / steps * 1e3, 1),
                 mfu=round(mfu, 4) if mfu is not None else None,
                 host_loader_images_per_sec=(
                     round(loader_ips, 2) if loader_ips else None

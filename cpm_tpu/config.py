@@ -409,6 +409,15 @@ def _new_defaults():
     # at large spatial extent on the MXU (exact: the gaps reproduce
     # per-roi zero padding). See grid_modules.tile_rois.
     C.TPU.TILED_TOWERS = False
+    # static slice sizes for the bucketed grid towers: the smallest
+    # bucket covering every valid roi runs its own compiled tower
+    # (lax.switch over prefix sizes). () disables bucketing (towers
+    # always run at the full static roi cap). TOWER_BUCKETS applies to
+    # the train path (cap = GRID_RCNN.MAX_SAMPLE_NUM_GRID x batch),
+    # EVAL_TOWER_BUCKETS to the post-NMS detection set (cap =
+    # GRID_RCNN.TEST_MAX_DETECTIONS).
+    C.TPU.TOWER_BUCKETS = (16, 48)
+    C.TPU.EVAL_TOWER_BUCKETS = (32, 128)
 
     return C
 

@@ -322,7 +322,10 @@ class GridCascadeRCNNHead(nn.Module):
             )
 
             last = stage == self.stage_num - 1
-            k_list = [k for k in TOWER_BUCKETS if k < S] + [S]
+            buckets = tuple(
+                getattr(c.TPU, "TOWER_BUCKETS", TOWER_BUCKETS)
+            )
+            k_list = [k for k in buckets if k < S] + [S]
             n_max = jnp.max(jnp.sum(stage_mask.astype(jnp.int32), axis=1))
             b_idx = sum(
                 (n_max > k).astype(jnp.int32) for k in k_list[:-1]
@@ -519,7 +522,10 @@ class GridCascadeRCNNHead(nn.Module):
         boxes = jnp.take_along_axis(boxes, cidx[..., None], axis=1)
         scores = jnp.take_along_axis(scores, cidx, axis=1)
         labels = jnp.take_along_axis(dets.labels, cidx, axis=1)
-        k_list = [k for k in EVAL_TOWER_BUCKETS if k < S] + [S]
+        eval_buckets = tuple(
+            getattr(c.TPU, "EVAL_TOWER_BUCKETS", EVAL_TOWER_BUCKETS)
+        )
+        k_list = [k for k in eval_buckets if k < S] + [S]
         n_max = jnp.max(jnp.sum(mask.astype(jnp.int32), axis=1))
         b_idx = sum((n_max > k).astype(jnp.int32) for k in k_list[:-1])
         # NOTE on TEST_STAGE < STAGE_NUM: the loop runs stages
