@@ -30,7 +30,13 @@ sys.path.insert(
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# default to CPU for reproducibility; --platform tpu runs the same
+# experiment on the chip in float32 (parity runs never use bf16)
+if "--platform" in sys.argv:
+    _plat = sys.argv[sys.argv.index("--platform") + 1]
+else:
+    _plat = "cpu"
+jax.config.update("jax_platforms", _plat)
 
 import numpy as np
 
@@ -40,6 +46,9 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=0.002)
     ap.add_argument("--out", default="docs/PARITY_MAP.md")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="jax platform (consumed before argparse; listed "
+                         "here for --help and validation)")
     ap.add_argument("--trunk-from", default=None,
                     help="torch checkpoint to import backbone+fpn from "
                          "(the reference's pretrained-trunk deployment "
