@@ -396,9 +396,22 @@ class GridCascadeRCNNHead(nn.Module):
             if len(k_list) == 1:
                 loss_grid, loss_iou, refined = _make_branch(S)(*branch_args)
             else:
+                # remat each branch: without it, the switch's VJP unions
+                # every branch's residuals (flax GroupNorm saves f32
+                # [K,7,7,G,C/G] upcasts per tower conv), and XLA hoists
+                # the untaken branches' zero-fills out of the conditional
+                # — ~11 ms/step of pure zeroing at realistic density
+                # (measured, docs/PROFILE.md round-2 seventh pass). With
+                # remat the residual set is just the branch operands, and
+                # the backward recomputes the K-sized tower forward
+                # (cheap in the small buckets where real data lands).
+                # prevent_cse is unnecessary inside a conditional branch.
                 loss_grid, loss_iou, refined = nn.switch(
                     b_idx,
-                    [_make_branch(k) for k in k_list],
+                    [
+                        nn.remat(_make_branch(k), prevent_cse=False)
+                        for k in k_list
+                    ],
                     *branch_args,
                 )
 

@@ -20,20 +20,33 @@ def enable_persistent_cache(cache_dir: str = None):
         # Hostname alone is NOT enough: fleet VMs share a node name but
         # differ in CPU extensions (observed: cached code compiled with
         # +amx-avx512-era flags SIGILLs on a host without them), so the
-        # actual cpuinfo flag set is hashed into the key.
-        feat = ""
+        # actual cpuinfo flag set is hashed into the key. The flag list
+        # alone is ALSO not enough: LLVM detects tuning attributes
+        # (+prefer-no-scatter/-gather) from raw CPUID, which can change
+        # across a VM migration while kernel-reported flags stay fixed
+        # (observed: stale AOT entries loaded with "machine type ...
+        # doesn't match" warnings and ~1e-2 numeric drift vs a fresh
+        # compile). Hash the CPUID identity lines (family/model/
+        # stepping/model name) and the jax version into the key too.
+        feat_lines = []
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        feat = line.split(":", 1)[1]
-                        break
+                    if line.startswith(
+                        ("flags", "cpu family", "model", "stepping")
+                    ):
+                        feat_lines.append(line.strip())
+                    if line.strip() == "" and feat_lines:
+                        break  # first core only; all cores identical
         except OSError:
             pass
         import hashlib
 
+        import jax as _jax
+
         fhash = hashlib.sha1(
-            " ".join(sorted(feat.split())).encode()
+            ("|".join(sorted(set(feat_lines))) + f"|jax{_jax.__version__}")
+            .encode()
         ).hexdigest()[:10]
         tag = f"{platform.node()}-{platform.machine()}-{fhash}"
         cache_dir = os.environ.get(

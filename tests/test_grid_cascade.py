@@ -185,3 +185,92 @@ def test_test_stage_below_stage_num_skips_ism(batch):
     assert not np.allclose(
         np.asarray(dets3.scores), np.asarray(dets0.scores)
     )
+
+
+def test_tower_buckets_match_unbucketed(batch):
+    """Bucketed grid towers (nn.switch over static slice sizes, with
+    remat'd branches) are a pure shape optimization.
+
+    Two pins, matched to what each can measure sharply:
+
+    1. Losses bucketed-vs-unbucketed at rtol 1e-3. Grad-level
+       comparison between those two paths is NOT meaningful at tight
+       tolerances: per-channel GroupNorm after every tower conv makes
+       conv biases exact null directions and projects kernel grads
+       onto near-cancelling residuals, where the two compilations'
+       reduction-order drift is amplified ~1000x by 1/sigma (measured:
+       up to 6e-2 abs on a 4.5e-2-norm leaf, while the global grad
+       rel-L2 stays 4e-3). A real bucketing bug (wrong slice, leaked
+       padding) moves the masked losses by whole percents.
+    2. Grads remat-vs-no-remat on the SAME bucketed graph at 1e-5:
+       remat is mathematically the identity, the forward graphs are
+       identical, and the measured drift is 9e-8 global — so this pin
+       is tight and directly validates the nn.remat(branch) wiring
+       (wrong residuals/rng threading would blow it up wholesale).
+    """
+    images, image_sizes, gt = batch
+    import cpm_tpu.modeling.roi_heads.grid_cascade_head as gch
+
+    def run(buckets, remat=True, want_grads=True):
+        orig_remat = gch.nn.remat
+        if not remat:
+            gch.nn.remat = lambda f, **kw: f
+        try:
+            cfg = _cpm_cfg()
+            cfg.TPU.TOWER_BUCKETS = buckets
+            model = build_model(cfg)
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "sample": jax.random.PRNGKey(1)},
+                images, image_sizes, gt=gt, train=True,
+            )
+
+            def loss_fn(params):
+                out = model.apply(
+                    {"params": params}, images, image_sizes, gt=gt,
+                    train=True, rngs={"sample": jax.random.PRNGKey(2)},
+                )
+                return sum(out.values()), out
+
+            if not want_grads:
+                _, losses = loss_fn(variables["params"])
+                return losses, None
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(variables["params"])
+            return losses, grads
+        finally:
+            gch.nn.remat = orig_remat
+
+    # S = MAX_SAMPLE_NUM_GRID = 8 here, so (2, 4) exercises the switch
+    # (k_list = [2, 4, 8]) while () runs the plain full-S path
+    losses_b, grads_b = run((2, 4), remat=True)
+    losses_nr, grads_nr = run((2, 4), remat=False)
+    losses_u, _ = run((), want_grads=False)
+
+    assert set(losses_b) == set(losses_u)
+    for k in losses_u:
+        np.testing.assert_allclose(
+            float(losses_b[k]), float(losses_u[k]), rtol=1e-3, atol=1e-6,
+            err_msg=k,
+        )
+
+    flat_b = jax.tree_util.tree_leaves_with_path(grads_b)
+    flat_nr = dict(
+        (jax.tree_util.keystr(p), g)
+        for p, g in jax.tree_util.tree_leaves_with_path(grads_nr)
+    )
+    for k in losses_b:
+        np.testing.assert_allclose(
+            float(losses_b[k]), float(losses_nr[k]), rtol=1e-6, atol=1e-8,
+            err_msg=f"remat changed forward {k}",
+        )
+    for p, g in flat_b:
+        a = np.asarray(g, np.float64)
+        b = np.asarray(flat_nr[jax.tree_util.keystr(p)], np.float64)
+        diff = np.linalg.norm(a - b)
+        rel = diff / (np.linalg.norm(b) + 1e-8)
+        assert rel < 1e-4 or diff < 1e-5, (
+            f"remat grad drift {jax.tree_util.keystr(p)}: "
+            f"rel L2 {rel:.2e}, abs {diff:.2e}"
+        )

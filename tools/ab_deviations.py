@@ -41,6 +41,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="/tmp/cpm_parity_ref.pt")
     ap.add_argument("--out", default="docs/AB_DEVIATIONS.md")
+    ap.add_argument("--platform", default="",
+                    help="jax platform to eval on; default '' unpins the "
+                         "cpu pin that importing parity_experiment set, "
+                         "letting jax pick the chip (its platform "
+                         "registers as 'axon' here, not 'tpu', so an "
+                         "explicit name would miss it)")
     args = ap.parse_args()
 
     import torch
@@ -48,6 +54,11 @@ def main():
     import jax
 
     from parity_experiment import load_dataset, our_cfg
+
+    # parity_experiment pins jax_platforms=cpu at import time for its own
+    # reproducibility; this tool's whole point is the on-chip kernel, so
+    # re-pin (or unpin) before the first backend touch.
+    jax.config.update("jax_platforms", args.platform or None)
     from cpm_tpu.engine.test import run_inference_on_dataset
     from cpm_tpu.evaluation.coco_eval import COCOEvaluator
     from cpm_tpu.modeling.model import build_model

@@ -36,7 +36,10 @@ if "--platform" in sys.argv:
     _plat = sys.argv[sys.argv.index("--platform") + 1]
 else:
     _plat = "cpu"
-jax.config.update("jax_platforms", _plat)
+# "tpu" can't be pinned by name here: the chip registers under the
+# experimental "axon" platform, so pinning the literal string fails
+# with "No jellyfish device found". Unpin and let jax pick the chip.
+jax.config.update("jax_platforms", None if _plat == "tpu" else _plat)
 
 import numpy as np
 
@@ -57,6 +60,12 @@ def main():
     args = ap.parse_args()
 
     from parity_experiment import load_dataset, make_batches, our_cfg
+
+    # parity_experiment re-pins jax_platforms=cpu at import; restore the
+    # requested platform before the first backend touch (see module top).
+    jax.config.update(
+        "jax_platforms", None if args.platform == "tpu" else args.platform
+    )
 
     import jax.numpy as jnp
 
