@@ -57,6 +57,13 @@ def main():
                          "(the reference's pretrained-trunk deployment "
                          "shape: frozen-BN trunks are meant to start "
                          "from pretrained weights, not from scratch)")
+    ap.add_argument("--init-from", default=None,
+                    help="torch checkpoint to import ALL weights from "
+                         "(e.g. the reference's seed-0 init: with "
+                         "identical starting weights, any trajectory "
+                         "gap isolates the optimizer/step, and any "
+                         "match isolates from-scratch init as the "
+                         "cause of a fresh-init gap)")
     args = ap.parse_args()
 
     from parity_experiment import load_dataset, make_batches, our_cfg
@@ -121,25 +128,28 @@ def main():
     model, tx, state = create_train_state(
         cfg, jax.random.PRNGKey(0), to_canonical(batches[0])
     )
-    if args.trunk_from:
+    if args.trunk_from or args.init_from:
         import torch
 
         from cpm_tpu.utils.weight_import import import_cpm_checkpoint
 
+        src = args.init_from or args.trunk_from
         sd = {
             k: v.numpy()
-            for k, v in torch.load(
-                args.trunk_from, weights_only=True
-            ).items()
+            for k, v in torch.load(src, weights_only=True).items()
         }
         imported = import_cpm_checkpoint(sd, cfg)
-        params = dict(state.params)
-        for part in ("backbone", "fpn"):
-            params[part] = imported[part]
+        if args.init_from:
+            params = imported
+            print(f"imported ALL weights from {src}")
+        else:
+            params = dict(state.params)
+            for part in ("backbone", "fpn"):
+                params[part] = imported[part]
+            print(f"imported trunk (backbone+fpn) from {src}")
         state = state.replace(params=jax.device_put(params)) \
             if hasattr(state, "replace") else state._replace(
                 params=jax.device_put(params))
-        print(f"imported trunk (backbone+fpn) from {args.trunk_from}")
     step_fn = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
     t0 = time.time()
@@ -168,9 +178,15 @@ def main():
         with open(json_path) as f:
             ref_stats = json.load(f).get("ref_stats", {})
 
+    init_desc = (
+        "all weights from " + args.init_from if args.init_from
+        else "trunk from " + args.trunk_from if args.trunk_from
+        else "fresh init"
+    )
     lines = [
         "",
-        "## Independent training run (our solver, fresh init)",
+        f"## Independent training run (our solver, {init_desc}, "
+        f"lr {args.lr}, {args.platform})",
         "",
         f"{args.steps} steps of engine/train.py + solver/optimizer.py on "
         "the same recipe/data (different RNG stream than torch, so "
