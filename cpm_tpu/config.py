@@ -82,6 +82,13 @@ def _new_defaults():
     C.MODEL.NUM_CLASSES = -1
     C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
     C.MODEL.CONV1_RGB2BGR = True
+    # fresh-init weight scheme: 'reference' reproduces the torch
+    # reference's actual from-scratch distributions (kaiming fan_out
+    # trunk, kaiming_uniform(a=1) FPN/MLPs, torch-default grid
+    # towers/deconvs; see cpm_tpu/modeling/initializers.py); 'tpu'
+    # keeps the flax-native defaults used through round 1. Irrelevant
+    # when importing weights.
+    C.MODEL.INIT_SCHEME = "reference"
 
     # ---- SOLVER ----
     C.SOLVER = AttrDict()

@@ -25,14 +25,26 @@ from flax import linen as nn
 
 from cpm_tpu.modeling import registry
 from cpm_tpu.modeling.context import make_context
+from cpm_tpu.modeling import initializers as init_scheme
 from cpm_tpu.modeling.norm import make_norm
 from cpm_tpu.ops.deform_conv import DeformConvPack, ModulatedDeformConvPack
+
+
+def _Conv(*args, **kw):
+    """nn.Conv with the active scheme's backbone kernel init.
+
+    reference: kaiming_normal(fan_out, relu), matching the generic
+    trunk _init_weights (pet/models/imagenet/resnet.py:281) which the
+    detection ResNet inherits and calls (backbone/ResNet.py:86).
+    Evaluated at trace time so build_model's set_scheme is honored.
+    """
+    return nn.Conv(*args, kernel_init=init_scheme.backbone_conv(), **kw)
 
 
 def _conv_op(conv: str, features: int, stride: int, dilation: int, name: str):
     """3x3 conv selected by the stage's conv option (resnet.py:20-28)."""
     if conv == "normal":
-        return nn.Conv(
+        return _Conv(
             features,
             (3, 3),
             strides=(stride, stride),
@@ -87,7 +99,7 @@ class Bottleneck(nn.Module):
             )
         out_dim = self.planes * self.expansion
 
-        h = nn.Conv(
+        h = _Conv(
             width, (1, 1), strides=(s1, s1), use_bias=False, name="conv1"
         )(x)
         h = make_norm(width, self.norm)(h) if self.norm != "none" else h
@@ -100,7 +112,7 @@ class Bottleneck(nn.Module):
                 # grouped deformable 3x3 (ResNeXt-DCN configs)
                 h = _conv_op(self.conv, width, s3, self.dilation, "conv2")(h)
             else:
-                h = nn.Conv(
+                h = _Conv(
                     width,
                     (3, 3),
                     strides=(s3, s3),
@@ -113,7 +125,7 @@ class Bottleneck(nn.Module):
         h = make_norm(width, self.norm)(h)
         h = nn.relu(h)
 
-        h = nn.Conv(out_dim, (1, 1), use_bias=False, name="conv3")(h)
+        h = _Conv(out_dim, (1, 1), use_bias=False, name="conv3")(h)
         h = make_norm(out_dim, self.norm)(h)
 
         ctx = make_context(out_dim, self.context, self.ctx_ratio)
@@ -128,11 +140,11 @@ class Bottleneck(nn.Module):
                     (self.stride, self.stride),
                     strides=(self.stride, self.stride),
                 )
-                r = nn.Conv(
+                r = _Conv(
                     out_dim, (1, 1), use_bias=False, name="downsample_conv"
                 )(r)
             else:
-                r = nn.Conv(
+                r = _Conv(
                     out_dim,
                     (1, 1),
                     strides=(self.stride, self.stride),
@@ -183,7 +195,7 @@ class AlignedBottleneck(nn.Module):
 
         def conv3(features, stride, groups, name):
             if self.conv == "normal" and groups > 1:
-                return nn.Conv(
+                return _Conv(
                     features, (3, 3), strides=(stride, stride),
                     padding=self.dilation,
                     kernel_dilation=(self.dilation, self.dilation),
@@ -191,12 +203,12 @@ class AlignedBottleneck(nn.Module):
                 )
             return _conv_op(self.conv, features, stride, self.dilation, name)
 
-        b1 = nn.Conv(width, (1, 1), use_bias=False, name="conv1_1")(x)
+        b1 = _Conv(width, (1, 1), use_bias=False, name="conv1_1")(x)
         b1 = make_norm(width, self.norm)(b1)
         b1 = nn.relu(b1)
         b1 = conv3(width, self.stride, g1, "conv1_2")(b1)
 
-        b2 = nn.Conv(half, (1, 1), use_bias=False, name="conv2_1")(x)
+        b2 = _Conv(half, (1, 1), use_bias=False, name="conv2_1")(x)
         b2 = make_norm(half, self.norm)(b2)
         b2 = nn.relu(b2)
         b2 = conv3(half, self.stride, g2, "conv2_2")(b2)
@@ -208,7 +220,7 @@ class AlignedBottleneck(nn.Module):
         h = make_norm(width + half, self.norm)(h)
         h = nn.relu(h)
 
-        h = nn.Conv(out_dim, (1, 1), use_bias=False, name="conv")(h)
+        h = _Conv(out_dim, (1, 1), use_bias=False, name="conv")(h)
         h = make_norm(out_dim, self.norm)(h)
 
         ctx = make_context(out_dim, self.context, self.ctx_ratio)
@@ -223,11 +235,11 @@ class AlignedBottleneck(nn.Module):
                     (self.stride, self.stride),
                     strides=(self.stride, self.stride),
                 )
-                r = nn.Conv(
+                r = _Conv(
                     out_dim, (1, 1), use_bias=False, name="downsample_conv"
                 )(r)
             else:
-                r = nn.Conv(
+                r = _Conv(
                     out_dim,
                     (1, 1),
                     strides=(self.stride, self.stride),
@@ -267,7 +279,7 @@ class BasicBlock(nn.Module):
         if ctx is not None:
             h = ctx(h)
         if self.downsample:
-            r = nn.Conv(
+            r = _Conv(
                 width,
                 (1, 1),
                 strides=(self.stride, self.stride),
@@ -324,25 +336,25 @@ class ResNetBody(nn.Module):
         norm = self.norm
         bp = self.base_planes
         if not self.use_3x3x3stem:
-            h = nn.Conv(
+            h = _Conv(
                 bp, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                 name="conv1",
             )(x)
             h = make_norm(bp, norm)(h)
             h = nn.relu(h)
         else:
-            h = nn.Conv(
+            h = _Conv(
                 bp // 2, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                 name="conv1",
             )(x)
             h = make_norm(bp // 2, norm)(h)
             h = nn.relu(h)
-            h = nn.Conv(
+            h = _Conv(
                 bp // 2, (3, 3), padding=1, use_bias=False, name="conv2"
             )(h)
             h = make_norm(bp // 2, norm)(h)
             h = nn.relu(h)
-            h = nn.Conv(
+            h = _Conv(
                 bp, (3, 3), padding=1, use_bias=False, name="conv3"
             )(h)
             h = make_norm(bp, norm)(h)

@@ -14,9 +14,16 @@ from typing import List, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cpm_tpu.modeling import initializers as init_scheme
+
 from cpm_tpu.modeling import registry
 from cpm_tpu.modeling.norm import make_norm
 
+
+def _Conv(*args, **kw):
+    """nn.Conv with the scheme's FPN kernel init (reference:
+    kaiming_uniform(a=1), FPN.py:86; bias zeros, :88)."""
+    return nn.Conv(*args, kernel_init=init_scheme.fpn_conv(), **kw)
 
 def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, C] -> [B, 2H, 2W, C] nearest neighbor."""
@@ -64,15 +71,15 @@ class FPN(nn.Module):
 
         c5 = feats[-1]
         px = maybe_norm(
-            nn.Conv(self.fpn_dim, (1, 1), name="p5_in")(c5)
+            _Conv(self.fpn_dim, (1, 1), name="p5_in")(c5)
         )
         outputs = [
-            maybe_norm(nn.Conv(self.fpn_dim, (3, 3), padding=1, name="p5_out")(px))
+            maybe_norm(_Conv(self.fpn_dim, (3, 3), padding=1, name="p5_out")(px))
         ]
         for i in range(num_backbone_stages - 1):
             cx = feats[-i - 2]
             lateral = maybe_norm(
-                nn.Conv(self.fpn_dim, (1, 1), name=f"fpn_in_{i}")(cx)
+                _Conv(self.fpn_dim, (1, 1), name=f"fpn_in_{i}")(cx)
             )
             if lateral.shape[1:3] != px.shape[1:3]:
                 px = nearest_upsample_2x(px)
@@ -80,7 +87,7 @@ class FPN(nn.Module):
             outputs.insert(
                 0,
                 maybe_norm(
-                    nn.Conv(
+                    _Conv(
                         self.fpn_dim, (3, 3), padding=1, name=f"fpn_out_{i}"
                     )(px)
                 ),
@@ -102,7 +109,7 @@ class FPN(nn.Module):
                     p_in = nn.relu(outputs[-1])
                 outputs.append(
                     maybe_norm(
-                        nn.Conv(
+                        _Conv(
                             self.fpn_dim,
                             (3, 3),
                             strides=(2, 2),

@@ -384,9 +384,15 @@ class GeneralizedRCNN(nn.Module):
 
 def build_model(cfg) -> GeneralizedRCNN:
     from cpm_tpu.config import freeze_to_ns
+    from cpm_tpu.modeling import initializers as init_scheme
     from cpm_tpu.ops.pooler import set_pooler_backend
 
     set_pooler_backend(getattr(cfg.TPU, "POOLER_KERNEL", "auto"))
+    # module-level state read by initializers at trace time: call
+    # build_model before (re-)init'ing params, as all entry points do
+    init_scheme.set_scheme(
+        getattr(cfg.MODEL, "INIT_SCHEME", "reference")
+    )
     if isinstance(cfg, dict):
         cfg = freeze_to_ns(cfg)
     return GeneralizedRCNN(cfg)

@@ -18,15 +18,24 @@ from typing import Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cpm_tpu.modeling import initializers as init_scheme
+
 
 class AffineChannel(nn.Module):
-    """Per-channel y = x * scale + bias over the last (channel) axis."""
+    """Per-channel y = x * scale + bias over the last (channel) axis.
+
+    Fresh-init scale is ones under both schemes — matching the
+    reference's effective from-scratch value after its BN->affine fold
+    (see initializers.affine_scale for the derivation).
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        scale = self.param(
+            "scale", init_scheme.affine_scale(), (self.features,)
+        )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return x * scale + bias
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cpm_tpu.modeling import initializers as init_scheme
 from cpm_tpu.modeling import registry
 from cpm_tpu.ops.box_coder import BoxCoder
 from cpm_tpu.ops.losses import smooth_l1_loss, softmax_cross_entropy
@@ -50,8 +51,12 @@ class TwoMLPHead(nn.Module):
         )
         x = pooler(features, rois, roi_mask)  # [R, ph, pw, C]
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.mlp_dim, name="fc6")(x))
-        x = nn.relu(nn.Dense(self.mlp_dim, name="fc7")(x))
+        x = nn.relu(nn.Dense(
+            self.mlp_dim, kernel_init=init_scheme.mlp_fc(), name="fc6"
+        )(x))
+        x = nn.relu(nn.Dense(
+            self.mlp_dim, kernel_init=init_scheme.mlp_fc(), name="fc7"
+        )(x))
         return x
 
 
@@ -81,11 +86,14 @@ class ConvFCHead(nn.Module):
                 (3, 3),
                 padding=self.dilation,
                 kernel_dilation=(self.dilation, self.dilation),
+                kernel_init=init_scheme.tower_conv(),
                 name=f"conv{i}",
             )(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.mlp_dim, name="fc")(x))
+        x = nn.relu(nn.Dense(
+            self.mlp_dim, kernel_init=init_scheme.mlp_fc(), name="fc"
+        )(x))
         return x
 
 

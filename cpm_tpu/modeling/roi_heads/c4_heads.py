@@ -19,6 +19,7 @@ from typing import Sequence
 from flax import linen as nn
 import jax.numpy as jnp
 
+from cpm_tpu.modeling import initializers as init_scheme
 from cpm_tpu.modeling import registry
 from cpm_tpu.modeling.backbone.resnet import Bottleneck
 from cpm_tpu.ops.pooler import Pooler
@@ -150,7 +151,10 @@ class ResNet2MLPHead(nn.Module):
             ctx_ratio=self.ctx_ratio,
             dilation=self.c5_dilation,
         )
-        x = nn.relu(nn.Conv(256, (1, 1), use_bias=True, name="conv_new")(x))
+        x = nn.relu(nn.Conv(
+            256, (1, 1), use_bias=True,
+            kernel_init=init_scheme.backbone_conv(), name="conv_new"
+        )(x))
         pooler = Pooler(
             output_size=tuple(self.resolution),
             scales=tuple(self.scales),
@@ -158,6 +162,12 @@ class ResNet2MLPHead(nn.Module):
         )
         x = pooler([x], rois, roi_mask)
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.mlp_dim, name="fc1")(x))
-        x = nn.relu(nn.Dense(self.mlp_dim, name="fc2")(x))
+        # generic-trunk _init_weights IS called by ResNet_2mlp_Head
+        # (backbone/ResNet.py:270): Linear -> N(0, 0.0001)
+        x = nn.relu(nn.Dense(
+            self.mlp_dim, kernel_init=init_scheme.normal_fc(), name="fc1"
+        )(x))
+        x = nn.relu(nn.Dense(
+            self.mlp_dim, kernel_init=init_scheme.normal_fc(), name="fc2"
+        )(x))
         return x

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cpm_tpu.modeling import initializers as init_scheme
 from cpm_tpu.modeling.roi_heads.box_head import (
     Detections,
     TwoMLPHead,
@@ -55,8 +56,12 @@ class CascadeStageOutput(nn.Module):
         )(x)
         iou_logits = None
         if self.iou_helper:
-            h = nn.relu(nn.Dense(1024, name="iou_fc1")(x))
-            h = nn.relu(nn.Dense(1024, name="iou_fc2")(h))
+            h = nn.relu(nn.Dense(
+                1024, kernel_init=init_scheme.mlp_fc(), name="iou_fc1"
+            )(x))
+            h = nn.relu(nn.Dense(
+                1024, kernel_init=init_scheme.mlp_fc(), name="iou_fc2"
+            )(h))
             iou_logits = nn.Dense(
                 2, kernel_init=nn.initializers.normal(0.01), name="iou_pred"
             )(h)

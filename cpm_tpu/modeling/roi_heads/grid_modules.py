@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from cpm_tpu.modeling import initializers as init_scheme
 from cpm_tpu.ops.pooler import Pooler
 
 
@@ -139,14 +140,24 @@ class TransitionConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # raw nn.Conv2d in the reference -> torch default init; depthwise
+        # fan_in = (c/groups)*25 = 25, pointwise fan_in = c
         x = nn.Conv(
             self.channels,
             (5, 5),
             padding=2,
             feature_group_count=self.channels,
+            kernel_init=init_scheme.torch_conv_kernel(),
+            bias_init=init_scheme.torch_conv_bias(25),
             name="dw",
         )(x)
-        return nn.Conv(self.channels, (1, 1), name="pw")(x)
+        return nn.Conv(
+            self.channels,
+            (1, 1),
+            kernel_init=init_scheme.torch_conv_kernel(),
+            bias_init=init_scheme.torch_conv_bias(self.channels),
+            name="pw",
+        )(x)
 
 
 class GridHead(nn.Module):
@@ -201,17 +212,23 @@ class GridHead(nn.Module):
         x_offset = None
         if self.offset_on:
             xo = nn.Conv(
-                64, (3, 3), strides=(2, 2), padding=1, name="offset_conv"
+                64, (3, 3), strides=(2, 2), padding=1,
+                kernel_init=init_scheme.tower_conv(), name="offset_conv"
             )(x)
             xo = nn.relu(xo)
-            x_offset = nn.Dense(4 * P, name="offset_fc")(
+            x_offset = nn.Dense(
+                4 * P, kernel_init=init_scheme.mlp_fc(), name="offset_fc"
+            )(
                 xo.reshape(xo.shape[0], -1)
             )
 
         for i in range(self.num_convs):
             stride = 2 if i == 0 else 1
+            cin_i = x.shape[-1]
             conv = nn.Conv(
                 cout, (3, 3), strides=(stride, stride), padding=1,
+                kernel_init=init_scheme.torch_conv_kernel(),
+                bias_init=init_scheme.torch_conv_bias(cin_i * 9),
                 name=f"conv{i}",
             )
             s_in = x.shape[1]
@@ -300,26 +317,27 @@ class GridOutput(nn.Module):
         c = self.point_feat_channels
         cout = c * P
 
+        # init per scheme: 'reference' = torch ConvTranspose2d defaults
+        # (the explicit init in grid_heads.py:121-129, incl. the
+        # -log(0.99/0.01) prior bias, is dead code upstream — never
+        # called); 'tpu' = that intended-but-dead prior init. Kernel/bias
+        # initializers return f32 explicitly — a weak-typed param leaf
+        # changes aval after the first optimizer step and forces a full
+        # retrace+recompile of the train step.
         deconv1_k = self.param(
             "deconv1_kernel",
-            nn.initializers.normal(0.001),
+            init_scheme.deconv_kernel_grouped(P),
             (4, 4, c, cout),  # groups=P: in c per group, out cout total
         )
         deconv1_b = self.param(
-            "deconv1_bias", nn.initializers.zeros, (cout,)
+            "deconv1_bias", init_scheme.deconv_bias(P), (cout,)
         )
         deconv2_k = self.param(
-            "deconv2_kernel", nn.initializers.normal(0.001), (4, 4, c, P)
+            "deconv2_kernel", init_scheme.deconv_kernel_grouped(P),
+            (4, 4, c, P),
         )
-        # bias init -log(0.99/0.01) (grid_heads.py:129); explicit dtype —
-        # a weak-typed param leaf changes aval after the first optimizer
-        # step and forces a full retrace+recompile of the train step
         deconv2_b = self.param(
-            "deconv2_bias",
-            lambda key, shape: jnp.full(
-                shape, -float(np.log(0.99 / 0.01)), jnp.float32
-            ),
-            (P,),
+            "deconv2_bias", init_scheme.deconv_bias(P, prior=True), (P,)
         )
         norm1 = nn.GroupNorm(num_groups=P, name="norm1")
 
@@ -359,8 +377,12 @@ class GridOutput(nn.Module):
         iou_logits = None
         if self.iou_helper:
             h = x.reshape(x.shape[0], -1)
-            h = nn.relu(nn.Dense(1024, name="iou_fc1")(h))
-            h = nn.relu(nn.Dense(1024, name="iou_fc2")(h))
+            h = nn.relu(nn.Dense(
+                1024, kernel_init=init_scheme.mlp_fc(), name="iou_fc1"
+            )(h))
+            h = nn.relu(nn.Dense(
+                1024, kernel_init=init_scheme.mlp_fc(), name="iou_fc2"
+            )(h))
             iou_logits = nn.Dense(
                 2, kernel_init=nn.initializers.normal(0.01), name="iou_pred"
             )(h)
@@ -397,8 +419,12 @@ class ClsHead(nn.Module):
         )
         x = pooler(features, rois, roi_mask)
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.mlp_dim, name="fc6")(x))
-        x = nn.relu(nn.Dense(self.mlp_dim, name="fc7")(x))
+        x = nn.relu(nn.Dense(
+            self.mlp_dim, kernel_init=init_scheme.mlp_fc(), name="fc6"
+        )(x))
+        x = nn.relu(nn.Dense(
+            self.mlp_dim, kernel_init=init_scheme.mlp_fc(), name="fc7"
+        )(x))
         return x
 
 

@@ -105,6 +105,31 @@ def build_reference():
     return model
 
 
+def apply_reference_bn_recipe(model):
+    """Mirror train_net.py:109-110: fold BN into FROZEN AffineChannel2d.
+
+    Generalized_RCNN builds live nn.BatchNorm2d, but the reference CLI
+    always converts when BATCH_NORM == 'freeze' (the default and every
+    CPM config): convert_bn2affine_model(merge=True) folds
+    (gamma, beta, mu, var) into a frozen affine (net.py:98-130).
+
+    Without this, a torch training run is a recipe the reference never
+    executes: ResNet.train() forces BN modules to eval (running stats
+    0/1, never updated — backbone/ResNet.py:119-121) yet their
+    gamma/beta OUTSIDE the FREEZE_AT stages still receive gradients, so
+    layer2-4 norm affines train freely — while the real recipe (and
+    this framework, which freezes all affine params by optimizer mask)
+    keeps them fixed. The round-2 self-train gap (0.77 vs 0.857 on the
+    2000-step recipe) traces to exactly this: the 0.8573 reference
+    number was produced with those 24 extra trainable tensors.
+
+    No-op on an already-converted model (no BN modules remain).
+    """
+    from pet.utils.net import convert_bn2affine_model
+
+    return convert_bn2affine_model(model, merge=True)
+
+
 def our_cfg():
     from cpm_tpu.config import get_default_cfg
 
@@ -227,16 +252,30 @@ def main():
     ap.add_argument("--label-steps", type=int, default=None,
                     help="total trained steps for the report header "
                          "(eval-only: the checkpoint's cumulative count)")
+    ap.add_argument("--bn", choices=["freeze", "live"], default="freeze",
+                    help="freeze (default): fold BN into frozen affines "
+                         "before training, mirroring the reference CLI "
+                         "(train_net.py:109-110). live: keep trainable "
+                         "BN gamma/beta (the pre-round-2 behavior that "
+                         "produced the 0.8573 number; NOT a recipe the "
+                         "reference ever runs)")
     args = ap.parse_args()
 
     import torch
 
     ref = build_reference()
     if (args.eval_only or not args.fresh) and os.path.exists(args.ckpt):
-        ref.load_state_dict(torch.load(args.ckpt, weights_only=True))
+        sd = torch.load(args.ckpt, weights_only=True)
+        if any(k.endswith("running_mean") for k in sd):
+            ref.load_state_dict(sd)  # pre-conversion (live-BN) checkpoint
+        else:
+            ref = apply_reference_bn_recipe(ref)
+            ref.load_state_dict(sd)
         print(f"resumed from {args.ckpt}")
     elif args.eval_only:
         sys.exit(f"--eval-only but no checkpoint at {args.ckpt}")
+    if args.bn == "freeze":
+        ref = apply_reference_bn_recipe(ref)  # no-op if already affine
     cfg = our_cfg()
     dataset = load_dataset()
     batches = make_batches(dataset, 0 if args.eval_only else args.steps)
