@@ -393,7 +393,14 @@ class GridCascadeRCNNHead(nn.Module):
             branch_args = (
                 self, pooled, boxes, stage_mask, matched_gt, matched_iou
             )
-            if len(k_list) == 1:
+            if len(k_list) == 1 or self.is_initializing():
+                # At init, bypass the lifted switch: flax re-derives the
+                # params rng at every lift boundary (nn.switch/nn.remat),
+                # so params created inside branches would draw DIFFERENT
+                # values than the unbucketed path — fresh-init weights
+                # must not depend on the TPU.TOWER_BUCKETS perf knob.
+                # The plain full-S call creates them exactly as the
+                # unbucketed trace does; apply-time switches reuse them.
                 loss_grid, loss_iou, refined = _make_branch(S)(*branch_args)
             else:
                 # remat each branch: without it, the switch's VJP unions
@@ -609,7 +616,10 @@ class GridCascadeRCNNHead(nn.Module):
 
                 return branch
 
-            if len(k_list) == 1:
+            if len(k_list) == 1 or self.is_initializing():
+                # init-time bypass of the lifted switch — same rationale
+                # as the train path: param values must not depend on the
+                # bucket configuration
                 refined, iou_score = _make_branch(S)(
                     self, pooled, boxes, mask
                 )
