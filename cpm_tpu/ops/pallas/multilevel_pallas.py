@@ -45,6 +45,16 @@ from jax.experimental.pallas import tpu as pltpu
 # fwd 1.47x / fwd+bwd 2.00x vs the XLA gather path at WIN=64.
 WIN = 64
 
+# Rois per forward grid step (G). Measured on v5e (bench_roi_align,
+# async-dispatch timing): G=2 is NEITHER faster nor slower (5.7 vs 5.8
+# ms fwd / 768 rois) — the per-roi cost is within-roi work (DMA waits,
+# matmuls, layout moves), not grid-step machinery — and G=4 exceeds the
+# 16 MB VMEM scoped limit. Default 1; override with
+# CPM_TPU_POOLER_GROUP for A/Bs on other hardware.
+import os as _os
+
+FWD_GROUP = max(1, int(_os.environ.get("CPM_TPU_POOLER_GROUP", "1")))
+
 
 def _pad_w8(f):
     """Pad the W dim to a multiple of 8: Mosaic DMA slices along the
@@ -123,7 +133,16 @@ def _prep_rois(rois, levels, spatial_scales, level_hw, level_hw_pad,
     ys_rel = ys_c - y0.astype(jnp.float32)[:, None]
     xs_rel = jnp.where(oob_x, -2.0, xs_rel)  # hat weight = 0 everywhere
     ys_rel = jnp.where(oob_y, -2.0, ys_rel)
-    return batch, y0, x0, ys_rel, xs_rel
+    # per-roi window support bounds (rows/cols with any nonzero hat
+    # weight), precomputed here so the kernel reads SMEM scalars instead
+    # of reducing the [S] position rows twice per roi (start + wait)
+    need_r = jnp.maximum(
+        jnp.max(ys_rel, axis=1).astype(jnp.int32) + 2, 0
+    )
+    need_c = jnp.maximum(
+        jnp.max(xs_rel, axis=1).astype(jnp.int32) + 2, 0
+    )
+    return batch, y0, x0, ys_rel, xs_rel, need_r, need_c
 
 
 def _hat_weights(pos_ref_row, wdim):
@@ -136,29 +155,34 @@ def _hat_weights(pos_ref_row, wdim):
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos - cells))
 
 
-def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
+def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw, G,
                      lvl_ref, b_ref, y0_ref, x0_ref, valid_ref,
+                     need_r_ref, need_c_ref,
                      ys_ref, xs_ref, *rest):
     feat_refs = rest[:nlvl]
-    out_ref = rest[nlvl]
-    win_scratch = rest[nlvl + 1]  # [2, WIN, WIN, C] double buffer
-    sem = rest[nlvl + 2]          # DMA semaphores, shape (2,)
+    out_ref = rest[nlvl]          # [G, ph, pw, C] block
+    win_scratch = rest[nlvl + 1]  # [2, G, WIN, WIN, C] double buffer
+    sem = rest[nlvl + 2]          # DMA semaphores, shape (2, G)
     i = pl.program_id(0)
-    R = pl.num_programs(0)
+    NSTEP = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
     C = win_scratch.shape[-1]
     sy, sx = ph * sr, pw * sr
 
-    # --- double-buffered window DMA -------------------------------
-    # Roi j's window tiles are DMA'd into scratch slot j%2 one grid
-    # step EARLY (prefetch at step j-1) and awaited just before j's
-    # matmuls, overlapping each roi's HBM window fetch with the
-    # previous roi's compute. Descriptors are reconstructed at wait
-    # time with identical arguments; per-slot semaphores keep the
-    # tile accounting of adjacent rois separate.
+    # --- grouped, double-buffered window DMA ----------------------
+    # The grid runs over GROUPS of G rois: per-step fixed costs (grid
+    # machinery, level-switch dispatch, descriptor accounting) amortize
+    # over G rois -- they dominate the per-roi budget (~10 us/roi
+    # measured at G=1 against ~1.6 us of matmuls). Roi j = s*G+g is
+    # DMA'd into scratch slot [s%2, g] one grid step EARLY (prefetch at
+    # step s-1) and awaited just before j's matmuls, overlapping window
+    # fetches with the previous group's compute. Descriptors are
+    # reconstructed at wait time with identical arguments; per-(slot, g)
+    # semaphores keep the tile accounting of adjacent rois separate.
     # Tiles beyond the roi's sample support (rows >= max(ys)+2 /
-    # cols >= max(xs)+2: bilinear hat weight 0 everywhere) are
-    # skipped under the SAME predicate at start and wait.
+    # cols >= max(xs)+2: bilinear hat weight 0 everywhere -- precomputed
+    # in _prep_rois, read here as SMEM scalars) are skipped under the
+    # SAME predicate at start and wait.
     def window_tiles(l):
         h, w = level_hw[l]
         hw_, ww_ = min(WIN, h), min(WIN, w)
@@ -170,7 +194,7 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                 tiles.append((s, rows, c, min(half_w, ww_ - c)))
         return hw_, ww_, tiles
 
-    def tile_copy(l, j, sl, s, rows, c, cols):
+    def tile_copy(l, j, sl, g, s, rows, c, cols):
         # x origins are floor-aligned to 8 in _prep_rois; Mosaic needs
         # the hint to prove the DMA slice offset is tile-aligned
         x0 = pl.multiple_of(x0_ref[j], 8)
@@ -179,14 +203,14 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                 b_ref[j], pl.ds(y0_ref[j] + s, rows),
                 pl.ds(x0 + c, cols), :
             ],
-            win_scratch.at[sl, pl.ds(s, rows), pl.ds(c, cols), :],
-            sem.at[sl],
+            win_scratch.at[sl, g, pl.ds(s, rows), pl.ds(c, cols), :],
+            sem.at[sl, g],
         )
 
-    def for_window(j, sl, start):
+    def for_window(j, sl, g, start):
         """Issue (start=True) or await the guarded tile DMAs of roi j."""
-        need_rows = jnp.max(ys_ref[j]).astype(jnp.int32) + 2
-        need_cols = jnp.max(xs_ref[j]).astype(jnp.int32) + 2
+        need_rows = need_r_ref[j]
+        need_cols = need_c_ref[j]
 
         def branch(l):
             hw_, ww_, tiles = window_tiles(l)
@@ -195,14 +219,14 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                 if start and (hw_ < WIN or ww_ < WIN):
                     # stale scratch outside a small level's map gets
                     # weight 0, but 0 * garbage must not be 0 * NaN
-                    win_scratch[pl.ds(sl, 1)] = jnp.zeros(
-                        (1,) + win_scratch.shape[1:], win_scratch.dtype
+                    win_scratch[sl, pl.ds(g, 1)] = jnp.zeros(
+                        (1,) + win_scratch.shape[2:], win_scratch.dtype
                     )
                 for s, rows, c, cols in tiles:
 
                     @pl.when((s < need_rows) & (c < need_cols))
                     def _tile(s=s, rows=rows, c=c, cols=cols):
-                        d = tile_copy(l, j, sl, s, rows, c, cols)
+                        d = tile_copy(l, j, sl, g, s, rows, c, cols)
                         if start:
                             d.start()
                         else:
@@ -212,60 +236,72 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw,
 
         jax.lax.switch(lvl_ref[j], [branch(l) for l in range(nlvl)])
 
+    def start_group(s, sl):
+        for g in range(G):
+
+            @pl.when(valid_ref[s * G + g] != 0)
+            def _start(g=g):
+                for_window(s * G + g, sl, g, start=True)
+
     # scratch VMEM is UNDEFINED at kernel start (can hold NaN bit
-    # patterns on hardware, though interpret mode zeroes it); rows the
+    # patterns on hardware, though interpret mode zeroes it): rows the
     # tile skip never writes must start at 0 so their zero weights
     # actually produce zeros. After that, stale rows hold a previous
-    # roi's (finite) features — also safe under weight 0.
+    # roi's (finite) features -- also safe under weight 0.
     @pl.when(i == 0)
     def _first():
         win_scratch[:] = jnp.zeros_like(win_scratch)
+        start_group(0, 0)
 
-        @pl.when(valid_ref[0] != 0)
-        def _start0():
-            for_window(0, 0, start=True)
-
-    # prefetch roi i+1's window into the other slot before computing
-    @pl.when(i + 1 < R)
+    # prefetch step i+1's group into the other slot before computing
+    @pl.when(i + 1 < NSTEP)
     def _prefetch():
-        @pl.when(valid_ref[i + 1] != 0)
-        def _start_next():
-            for_window(i + 1, jax.lax.rem(i + 1, 2), start=True)
+        start_group(i + 1, jax.lax.rem(i + 1, 2))
 
-    # masked (padding) rois skip the window DMA + matmuls entirely —
-    # fixed-shape roi sets are often 40-70% padding on the train path
-    @pl.when(valid_ref[i] == 0)
-    def _zero():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+    for g in range(G):
+        j = i * G + g
 
-    @pl.when(valid_ref[i] != 0)
-    def _compute():
-        for_window(i, slot, start=False)  # await this roi's tiles
+        # masked (padding) rois skip the window DMA + matmuls entirely
+        # -- fixed-shape roi sets are often 40-70% padding on the train
+        # path
+        @pl.when(valid_ref[j] == 0)
+        def _zero(g=g):
+            out_ref[g] = jnp.zeros_like(out_ref[g])
 
-        fd = win_scratch.dtype
-        # matmuls in the feature dtype with f32 accumulation (MXU-native
-        # for bf16); the window in its own dtype halves VMEM pressure
-        wy = _hat_weights(ys_ref[i], WIN).astype(fd)  # [Sy, WIN]
-        wx = _hat_weights(xs_ref[i], WIN).astype(fd)  # [Sx, WIN]
-        win = win_scratch[slot]  # [WIN, WIN, C]
-        # contract y: [Sy, WIN] @ [WIN, WIN*C]
-        t = jnp.dot(
-            wy, win.reshape(WIN, WIN * C),
-            preferred_element_type=jnp.float32,
-        ).reshape(sy, WIN, C)
-        # contract x: [Sx, WIN] @ [WIN, Sy*C]
-        t = jnp.dot(
-            wx.astype(jnp.float32),
-            t.transpose(1, 0, 2).reshape(WIN, sy * C),
-            preferred_element_type=jnp.float32,
-        ).reshape(sx, sy, C)
-        vals = t.transpose(1, 0, 2)  # [Sy, Sx, C]
-        pooled = vals.reshape(ph, sr, pw, sr, C).mean(axis=(1, 3))
-        out_ref[0] = pooled.astype(out_ref.dtype)
+        @pl.when(valid_ref[j] != 0)
+        def _compute(j=j, g=g):
+            for_window(j, slot, g, start=False)  # await roi j's tiles
+
+            fd = win_scratch.dtype
+            # matmuls in the feature dtype with f32 accumulation
+            # (MXU-native for bf16); the window in its own dtype halves
+            # VMEM pressure
+            wy = _hat_weights(ys_ref[j], WIN).astype(fd)  # [Sy, WIN]
+            wx = _hat_weights(xs_ref[j], WIN).astype(fd)  # [Sx, WIN]
+            win = win_scratch[slot, g]  # [WIN, WIN, C]
+            # contract y: [Sy, WIN] @ [WIN, WIN*C]
+            t = jnp.dot(
+                wy, win.reshape(WIN, WIN * C),
+                preferred_element_type=jnp.float32,
+            ).reshape(sy, WIN, C)
+            # contract x: [Sx, WIN] @ [WIN, Sy*C] (the explicit
+            # transpose is Mosaic's supported layout for this step:
+            # dot_general over t's middle dim + a minor-dim split of
+            # the pooled result both fail vector-layout inference on
+            # real hardware, though interpret mode accepts them)
+            t = jnp.dot(
+                wx.astype(jnp.float32),
+                t.transpose(1, 0, 2).reshape(WIN, sy * C),
+                preferred_element_type=jnp.float32,
+            ).reshape(sx, sy, C)
+            vals = t.transpose(1, 0, 2)  # [Sy, Sx, C]
+            pooled = vals.reshape(ph, sr, pw, sr, C).mean(axis=(1, 3))
+            out_ref[g] = pooled.astype(out_ref.dtype)
 
 
 def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                      lvl_ref, b_ref, y0_ref, x0_ref, valid_ref,
+                     need_r_ref, need_c_ref,
                      ys_ref, xs_ref, *rest):
     g_ref = rest[0]                      # [1, ph, pw, C] block
     # rest[1:1+nlvl] are the aliased zero INPUT refs (unused); the
@@ -286,8 +322,9 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     valid = valid_ref[i] != 0  # masked rois contribute no gradient
     # rows/cols beyond every sample's hat support have zero weight ->
     # their gradient tile is zero and the read-modify-write is skipped
-    need_rows = jnp.max(ys_ref[i]).astype(jnp.int32) + 2
-    need_cols = jnp.max(xs_ref[i]).astype(jnp.int32) + 2
+    # (bounds precomputed in _prep_rois, read as SMEM scalars)
+    need_rows = need_r_ref[i]
+    need_cols = need_c_ref[i]
 
     wy = _hat_weights(ys_ref[i], WIN)  # [Sy, WIN]
     wx = _hat_weights(xs_ref[i], WIN)
@@ -436,7 +473,7 @@ def window_overflow_mask(
     level_hw_pad = tuple(
         (h, ((w + 7) // 8) * 8) for h, w in level_hw
     )
-    _, _, _, ys_rel, xs_rel = _prep_rois(
+    _, _, _, ys_rel, xs_rel, _, _ = _prep_rois(
         rois, levels, spatial_scales, level_hw, level_hw_pad,
         output_size, sr, aligned,
     )
@@ -480,39 +517,59 @@ def _fwd(features, rois_levels, output_size, spatial_scales,
     C = features[0].shape[-1]
     R = rois.shape[0]
 
-    batch, y0, x0, ys_rel, xs_rel = _prep_rois(
+    batch, y0, x0, ys_rel, xs_rel, need_r, need_c = _prep_rois(
         rois, levels, spatial_scales, level_hw, level_hw_pad,
         output_size, sr, aligned,
     )
 
+    # rois per grid step (see _fwd_kernel_body); VMEM budget bounds the
+    # double-buffered window scratch to 2*G*WIN*WIN*C elements
+    G = FWD_GROUP
+    R_pad = -(-R // G) * G
+    if R_pad != R:
+        pad = R_pad - R
+        batch = jnp.pad(batch, (0, pad))
+        y0 = jnp.pad(y0, (0, pad))
+        x0 = jnp.pad(x0, (0, pad))
+        need_r = jnp.pad(need_r, (0, pad))
+        need_c = jnp.pad(need_c, (0, pad))
+        valid = jnp.pad(valid, (0, pad))  # padding rois invalid
+        levels = jnp.pad(levels, (0, pad))
+        ys_rel = jnp.pad(ys_rel, ((0, pad), (0, 0)))
+        xs_rel = jnp.pad(xs_rel, ((0, pad), (0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # lvl, batch, y0, x0, valid
-        grid=(R,),
+        num_scalar_prefetch=7,  # lvl, batch, y0, x0, valid, need_r/c
+        grid=(R_pad // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ys_rel [R, Sy]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # xs_rel [R, Sx]
         ]
         + [pl.BlockSpec(memory_space=pl.ANY) for _ in features],
         out_specs=pl.BlockSpec(
-            (1, ph, pw, C), lambda i, *_: (i, 0, 0, 0),
+            (G, ph, pw, C), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            # double buffer: roi i+1's window DMA overlaps roi i's matmuls
-            pltpu.VMEM((2, WIN, WIN, C), features[0].dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            # double buffer: step i+1's G windows DMA over step i's matmuls
+            pltpu.VMEM((2, G, WIN, WIN, C), features[0].dtype),
+            pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
-    kernel = partial(_fwd_kernel_body, level_hw_pad, nlvl, sr, ph, pw)
+    kernel = partial(_fwd_kernel_body, level_hw_pad, nlvl, sr, ph, pw, G)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, ph, pw, C), features[0].dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (R_pad, ph, pw, C), features[0].dtype
+        ),
         interpret=interpret,
     )(
-        levels.astype(jnp.int32), batch, y0, x0, valid,
+        levels.astype(jnp.int32), batch, y0, x0, valid, need_r, need_c,
         ys_rel, xs_rel, *padded
     )
+    if R_pad != R:
+        out = out[:R]
     residuals = (features, rois_levels)
     return out, residuals
 
@@ -531,7 +588,7 @@ def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
     C = features[0].shape[-1]
     R = rois.shape[0]
 
-    batch, y0, x0, ys_rel, xs_rel = _prep_rois(
+    batch, y0, x0, ys_rel, xs_rel, need_r, need_c = _prep_rois(
         rois, levels, spatial_scales, level_hw, level_hw_pad,
         output_size, sr, aligned,
     )
@@ -548,7 +605,7 @@ def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
         for f, (hp, wp) in zip(features, level_hw_pad)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(R,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ys_rel [R, Sy]
@@ -579,12 +636,12 @@ def _bwd(output_size, spatial_scales, sampling_ratio, aligned, interpret,
         input_output_aliases={
             # zeros inputs alias the grad outputs for in-place
             # accumulation; indices count the full positional args
-            # (5 prefetch + ys + xs + g = 8 before the zeros)
-            8 + i: i for i in range(nlvl)
+            # (7 prefetch + ys + xs + g = 10 before the zeros)
+            10 + i: i for i in range(nlvl)
         },
         interpret=interpret,
     )(
-        levels.astype(jnp.int32), batch, y0, x0, valid,
+        levels.astype(jnp.int32), batch, y0, x0, valid, need_r, need_c,
         ys_rel, xs_rel, g, *zeros,
     )
     grads = tuple(

@@ -83,9 +83,12 @@ def main():
             f = jax.jit(lambda fs: jnp.sum(fn(fs).astype(jnp.float32)))
         float(f(feats))  # compile + warm
         t0 = time.time()
-        iters = 10
-        for _ in range(iters):
-            float(f(feats))  # scalar readout = completion barrier
+        iters = 30
+        # async dispatch: queue all executions, block once at the end —
+        # a per-iteration readout would add a full host<->device tunnel
+        # round-trip (~20 ms here) to every sample and swamp small deltas
+        outs = [f(feats) for _ in range(iters)]
+        float(outs[-1])
         dt_ms = (time.time() - t0) / iters * 1e3
         print(f"{name:34s} {dt_ms:8.2f} ms")
         return dt_ms

@@ -48,6 +48,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=0.002)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="data-order + init PRNG seed (endpoint AP on "
+                         "the 16-image recipe is seed-noisy; run a few "
+                         "seeds to bracket the torch reference's run)")
     ap.add_argument("--out", default="docs/PARITY_MAP.md")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
                     help="jax platform (consumed before argparse; listed "
@@ -99,7 +103,7 @@ def main():
     cfg.SOLVER.MAX_ITER = args.steps
 
     dataset = load_dataset()
-    batches = make_batches(dataset, args.steps)
+    batches = make_batches(dataset, args.steps, seed=args.seed)
 
     def to_canonical(batch, max_gt=16, canvas=(64, 96)):
         imgs, sizes, gts = batch
@@ -126,7 +130,7 @@ def main():
         )
 
     model, tx, state = create_train_state(
-        cfg, jax.random.PRNGKey(0), to_canonical(batches[0])
+        cfg, jax.random.PRNGKey(args.seed), to_canonical(batches[0])
     )
     if args.trunk_from or args.init_from:
         import torch
