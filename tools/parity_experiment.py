@@ -242,6 +242,10 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--overlay", type=int, default=50)
     ap.add_argument("--lr", type=float, default=0.002)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="data-order seed (torch init stays seed 0); "
+                         "endpoint AP on the 16-image recipe is "
+                         "seed-noisy, so vary this to bracket runs")
     ap.add_argument("--out", default="docs/PARITY_MAP.md")
     ap.add_argument("--ckpt", default="/tmp/cpm_parity_ref.pt",
                     help="torch checkpoint path (resume if exists)")
@@ -278,7 +282,7 @@ def main():
         ref = apply_reference_bn_recipe(ref)  # no-op if already affine
     cfg = our_cfg()
     dataset = load_dataset()
-    batches = make_batches(dataset, 0 if args.eval_only else args.steps)
+    batches = make_batches(dataset, 0 if args.eval_only else args.steps, seed=args.seed)
 
     from cpm_tpu.modeling.model import build_model
     from cpm_tpu.utils.weight_import import import_cpm_checkpoint
