@@ -20,6 +20,12 @@ def main():
     ap.add_argument("--pool", type=int, default=14)
     ap.add_argument("--channels", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument(
+        "--valid-frac", type=float, default=1.0,
+        help="fraction of rois marked valid (padding-skip cost probe; "
+        "the cls/rescore train sites run 1024 slots at ~5%% valid on "
+        "realistic data)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -64,6 +70,10 @@ def main():
     from cpm_tpu.ops.pooler import assign_fpn_levels
 
     levels = assign_fpn_levels(rois[:, 1:5], 2, 5) - 2
+    n_valid = max(1, int(round(R * args.valid_frac)))
+    valid = jnp.asarray(np.arange(R) < n_valid)
+    if args.valid_frac < 1.0:
+        print(f"# valid rois: {n_valid}/{R}")
 
     def bench(name, fn, grad=False):
         if grad:
@@ -97,7 +107,7 @@ def main():
         list(fs), rois, levels, pool, scales, 2
     )
     pallas_fn = lambda fs: multilevel_roi_align_pallas(  # noqa: E731
-        tuple(fs), (rois, levels), pool, scales, 2, False, False
+        tuple(fs), (rois, levels, valid), pool, scales, 2, False, False
     )
 
     g_f = bench("xla gather fwd", gather_fn)
