@@ -55,6 +55,17 @@ import os as _os
 
 FWD_GROUP = max(1, int(_os.environ.get("CPM_TPU_POOLER_GROUP", "1")))
 
+# Forward window-prefetch depth (pipeline slots in the scratch ring).
+# Depth D issues a roi's window DMA D-1 grid steps before its matmuls.
+# Measured on v5e (1024 rois, 7x7, bf16): depth 3 is NEUTRAL (5.31 vs
+# 5.27 ms fwd) and depth 4 fails scoped-VMEM allocation — together with
+# the earlier G=2-neutral result this pins the ~5 us/roi floor on
+# in-kernel scalar work (descriptor reconstruction, level-switch
+# dispatch, per-step block writeback), not on DMA wait or grid-step
+# count. Default stays at the classic double buffer; the knob remains
+# for other hardware generations.
+FWD_DEPTH = max(2, int(_os.environ.get("CPM_TPU_POOLER_DEPTH", "2")))
+
 
 def _pad_w8(f):
     """Pad the W dim to a multiple of 8: Mosaic DMA slices along the
@@ -155,17 +166,17 @@ def _hat_weights(pos_ref_row, wdim):
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos - cells))
 
 
-def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw, G,
+def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw, G, D,
                      lvl_ref, b_ref, y0_ref, x0_ref, valid_ref,
                      need_r_ref, need_c_ref,
                      ys_ref, xs_ref, *rest):
     feat_refs = rest[:nlvl]
     out_ref = rest[nlvl]          # [G, ph, pw, C] block
-    win_scratch = rest[nlvl + 1]  # [2, G, WIN, WIN, C] double buffer
-    sem = rest[nlvl + 2]          # DMA semaphores, shape (2, G)
+    win_scratch = rest[nlvl + 1]  # [D, G, WIN, WIN, C] prefetch ring
+    sem = rest[nlvl + 2]          # DMA semaphores, shape (D, G)
     i = pl.program_id(0)
     NSTEP = pl.num_programs(0)
-    slot = jax.lax.rem(i, 2)
+    slot = jax.lax.rem(i, D)
     C = win_scratch.shape[-1]
     sy, sx = ph * sr, pw * sr
 
@@ -248,15 +259,20 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw, G,
     # tile skip never writes must start at 0 so their zero weights
     # actually produce zeros. After that, stale rows hold a previous
     # roi's (finite) features -- also safe under weight 0.
+    #
+    # Pipeline fill: step 0 issues groups 0..D-2 into slots 0..D-2, then
+    # every step issues group i+D-1 into slot (i+D-1)%D = (i-1)%D — the
+    # slot whose previous occupant (group i-1) was awaited one step ago.
     @pl.when(i == 0)
     def _first():
         win_scratch[:] = jnp.zeros_like(win_scratch)
-        start_group(0, 0)
+        for s in range(min(D - 1, NSTEP)):
+            start_group(s, s)
 
-    # prefetch step i+1's group into the other slot before computing
-    @pl.when(i + 1 < NSTEP)
+    # prefetch D-1 steps ahead of the group being computed
+    @pl.when(i + (D - 1) < NSTEP)
     def _prefetch():
-        start_group(i + 1, jax.lax.rem(i + 1, 2))
+        start_group(i + (D - 1), jax.lax.rem(i + (D - 1), D))
 
     for g in range(G):
         j = i * G + g
@@ -522,9 +538,13 @@ def _fwd(features, rois_levels, output_size, spatial_scales,
         output_size, sr, aligned,
     )
 
-    # rois per grid step (see _fwd_kernel_body); VMEM budget bounds the
-    # double-buffered window scratch to 2*G*WIN*WIN*C elements
+    # rois per grid step (see _fwd_kernel_body); the VMEM budget bounds
+    # the prefetch ring to FWD_DEPTH*G*WIN*WIN*C elements — clamp the
+    # depth so the ring stays within ~8 MB of the 16 MB scoped limit
+    # (leaves room for the out block, sample rows, and Mosaic overhead)
     G = FWD_GROUP
+    win_bytes = WIN * WIN * C * jnp.dtype(features[0].dtype).itemsize * G
+    FWD_D = max(2, min(FWD_DEPTH, (8 << 20) // max(1, win_bytes)))
     R_pad = -(-R // G) * G
     if R_pad != R:
         pad = R_pad - R
@@ -551,12 +571,15 @@ def _fwd(features, rois_levels, output_size, spatial_scales,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            # double buffer: step i+1's G windows DMA over step i's matmuls
-            pltpu.VMEM((2, G, WIN, WIN, C), features[0].dtype),
-            pltpu.SemaphoreType.DMA((2, G)),
+            # D-deep prefetch ring: group i+D-1's windows DMA while
+            # groups i..i+D-2 compute/await ahead of them
+            pltpu.VMEM((FWD_D, G, WIN, WIN, C), features[0].dtype),
+            pltpu.SemaphoreType.DMA((FWD_D, G)),
         ],
     )
-    kernel = partial(_fwd_kernel_body, level_hw_pad, nlvl, sr, ph, pw, G)
+    kernel = partial(
+        _fwd_kernel_body, level_hw_pad, nlvl, sr, ph, pw, G, FWD_D
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -86,7 +86,12 @@ def assign_fpn_levels(
     boxes: [..., 4] xyxy in image coords. Returns int32 levels in
     [k_min, k_max].
     """
-    scale = jnp.sqrt(box_area(boxes, legacy_plus1=True))
+    # degenerate boxes (x2 < x1, e.g. from grid decode on untrained
+    # heatmaps) have negative plus1-area; without the clamp, sqrt -> NaN
+    # -> NaN->int32 cast garbage that the pallas level-switch and the
+    # gather path resolve DIFFERENTLY (measured: 0.84 max output delta
+    # on a degenerate roi). Clamping pins them to k_min on both paths.
+    scale = jnp.sqrt(jnp.maximum(box_area(boxes, legacy_plus1=True), 0.0))
     lvl = jnp.floor(
         canonical_level + jnp.log2(scale / canonical_scale + eps)
     )

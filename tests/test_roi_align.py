@@ -104,6 +104,21 @@ def test_fpn_level_assignment():
     assert lv[2] == 5  # huge box -> coarsest
 
 
+def test_fpn_level_assignment_degenerate_boxes():
+    # x2 < x1 / y2 < y1 (grid decode on untrained heatmaps can emit
+    # these): negative plus1-area must NOT become sqrt(neg) -> NaN ->
+    # garbage int level — the pallas level switch and the gather path
+    # resolve NaN-cast levels differently (0.84 output delta measured
+    # on chip). Degenerate boxes pin to the finest level instead.
+    b = jnp.asarray([
+        [100.0, 100.0, 90.0, 140.0],   # x2 < x1
+        [100.0, 100.0, 140.0, 80.0],   # y2 < y1
+        [100.0, 100.0, 90.0, 80.0],    # both
+    ])
+    lv = np.asarray(assign_fpn_levels(b, 2, 5))
+    assert (lv == 2).all(), lv
+
+
 def test_pooler_level_selection(rng):
     feats = [
         jnp.asarray(rng.rand(1, 32, 32, 4).astype(np.float32)),
