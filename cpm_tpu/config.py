@@ -407,6 +407,15 @@ def _new_defaults():
     # RPN pre-NMS top-k via lax.approx_max_k (TPU-native PartialReduce,
     # recall 0.95 over >8192 anchors/level; exact fallback elsewhere)
     C.TPU.APPROX_TOPK = True
+    # compute the 7x7/2 backbone stem as a 4x4/1 conv over 2x2
+    # space-to-depth packed input (MLPerf-ResNet TPU trick; exact, param
+    # tree unchanged — cpm_tpu/modeling/backbone/resnet.py:_S2DStem).
+    # Measured NEUTRAL on v5e (bench_train_only --gt 6, back-to-back:
+    # 100.0 on vs 98.2 off ms/step): the input-side space-to-depth
+    # reshape costs what the 4x lane-occupancy win on the 3-channel
+    # stem saves. Default off; kept for re-evaluation on hardware
+    # where data formatting is cheaper relative to MXU time.
+    C.TPU.S2D_STEM = False
     # ship raw uint8 batches (1/4 the host->device bytes) and normalize
     # on device (the reference's in-model AffineChannel2d design,
     # model_builder.py:24-28); False = host-side f32 normalization

@@ -20,6 +20,7 @@ TPU-first choices:
 import math
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,6 +40,56 @@ def _Conv(*args, **kw):
     Evaluated at trace time so build_model's set_scheme is honored.
     """
     return nn.Conv(*args, kernel_init=init_scheme.backbone_conv(), **kw)
+
+
+class _S2DStem(nn.Module):
+    """7x7/2 stem conv computed as a 4x4/1 conv over 2x2 space-to-depth
+    packed input (the MLPerf-ResNet TPU trick).
+
+    A 3-channel 7x7 conv runs the MXU at ~3/128 lane occupancy; packing
+    2x2 pixel phases into channels quarters the spatial extent and
+    raises the contraction depth to 12. The parameter KEEPS the
+    reference shape [7,7,Cin,features] under the same ('conv1','kernel')
+    path and init rng — checkpoints, the torch weight importer, and the
+    fresh-init scheme are untouched; only the trace-time compute layout
+    changes. Equivalence: pad the kernel to 8x8 with a zero row/col at
+    index 0 (7x7 pad 3 == 8x8 pad 4), split each axis into
+    (outer 4, phase 2), and fold (phase_y, phase_x, Cin) into the packed
+    input channel — a stride-1 4x4 conv with asymmetric pad (2,1).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            init_scheme.backbone_conv(),
+            (7, 7, cin, self.features),
+            jnp.float32,
+        )
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dt)
+        k = kernel.astype(dt)
+        B, H, W, _ = x.shape
+        # [B,H,W,C] -> [B,H/2,W/2,4C], channel index (dy*2+dx)*C + c
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, cin)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, H // 2, W // 2, 4 * cin
+        )
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,C,O]
+        w4 = kp.reshape(4, 2, 4, 2, cin, self.features)
+        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * cin, self.features
+        )
+        return jax.lax.conv_general_dilated(
+            x2,
+            w4,
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 def _conv_op(conv: str, features: int, stride: int, dilation: int, name: str):
@@ -308,6 +359,9 @@ class ResNetBody(nn.Module):
     stride_3x3: bool = False
     avg_down: bool = False
     use_3x3x3stem: bool = False
+    # compute the 7x7/2 stem as a 4x4/1 conv over 2x2 space-to-depth
+    # input (TPU.S2D_STEM; param tree unchanged — see _S2DStem)
+    s2d_stem: bool = False
     norm: str = "affine"
     stage_with_conv: Sequence[str] = ("normal",) * 4
     stage_with_context: Sequence[str] = ("none",) * 4
@@ -336,10 +390,17 @@ class ResNetBody(nn.Module):
         norm = self.norm
         bp = self.base_planes
         if not self.use_3x3x3stem:
-            h = _Conv(
-                bp, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                name="conv1",
-            )(x)
+            if (
+                self.s2d_stem
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            ):
+                h = _S2DStem(bp, name="conv1")(x)
+            else:
+                h = _Conv(
+                    bp, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1",
+                )(x)
             h = make_norm(bp, norm)(h)
             h = nn.relu(h)
         else:
@@ -410,6 +471,7 @@ def build_resnet(cfg):
         stride_3x3=r.STRIDE_3X3,
         avg_down=r.AVG_DOWN,
         use_3x3x3stem=r.USE_3x3x3HEAD,
+        s2d_stem=getattr(cfg.TPU, "S2D_STEM", False),
         norm=norm,
         stage_with_conv=tuple(r.STAGE_WITH_CONV),
         stage_with_context=tuple(r.STAGE_WITH_CONTEXT),
@@ -435,6 +497,7 @@ def build_resnet_c4(cfg):
         stride_3x3=r.STRIDE_3X3,
         avg_down=r.AVG_DOWN,
         use_3x3x3stem=r.USE_3x3x3HEAD,
+        s2d_stem=getattr(cfg.TPU, "S2D_STEM", False),
         norm=norm,
         stage_with_conv=tuple(r.STAGE_WITH_CONV)[:3],
         stage_with_context=tuple(r.STAGE_WITH_CONTEXT)[:3],
@@ -456,6 +519,7 @@ def build_resnext(cfg):
         stride_3x3=True,  # ResNeXt puts the stride on the grouped 3x3
         avg_down=r.AVG_DOWN,
         use_3x3x3stem=r.USE_3x3x3HEAD,
+        s2d_stem=getattr(cfg.TPU, "S2D_STEM", False),
         norm=norm,
         stage_with_conv=tuple(r.STAGE_WITH_CONV),
         stage_with_context=tuple(r.STAGE_WITH_CONTEXT),

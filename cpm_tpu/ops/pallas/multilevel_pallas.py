@@ -66,6 +66,22 @@ FWD_GROUP = max(1, int(_os.environ.get("CPM_TPU_POOLER_GROUP", "1")))
 # for other hardware generations.
 FWD_DEPTH = max(2, int(_os.environ.get("CPM_TPU_POOLER_DEPTH", "2")))
 
+# Forward window-DMA tile geometry (rows x cols per descriptor).
+# Fewer/larger tiles trade extra bytes (tiles past the roi's hat
+# support can no longer be skipped at fine grain) for fewer descriptor
+# constructions per roi (up to 8 start + 8 wait at 16x32, 1+1 at
+# 64x64). Measured on v5e (1024 rois, 7x7, bf16, back-to-back):
+# 64x64 = 5.12/10.37 ms fwd/fwd+bwd vs 16x32 = 5.24/10.47 — ~2%,
+# within session noise. Together with the G- and depth-neutral results
+# this rules descriptor handling OUT of the ~5 us/roi floor too; what
+# remains is the within-roi serial chain (level-switch dispatch, hat
+# construction, the two matmuls + the Mosaic-mandated transpose,
+# writeback). Default stays at the fine-grain skip geometry, which
+# also bounds DMA bytes for small-support rois.
+# Cols must stay a multiple of 8 (sublane alignment).
+FWD_TILE_ROWS = int(_os.environ.get("CPM_TPU_POOLER_TILE_ROWS", "16"))
+FWD_TILE_COLS = int(_os.environ.get("CPM_TPU_POOLER_TILE_COLS", "32"))
+
 
 def _pad_w8(f):
     """Pad the W dim to a multiple of 8: Mosaic DMA slices along the
@@ -197,7 +213,7 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw, G, D,
     def window_tiles(l):
         h, w = level_hw[l]
         hw_, ww_ = min(WIN, h), min(WIN, w)
-        slab, half_w = 16, 32
+        slab, half_w = FWD_TILE_ROWS, FWD_TILE_COLS
         tiles = []
         for s in range(0, hw_, slab):
             rows = min(slab, hw_ - s)

@@ -81,3 +81,34 @@ def test_deform_conv_matches_regular_when_offsets_zero():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_s2d_stem_matches_plain_conv1():
+    # TPU.S2D_STEM computes the 7x7/2 stem as a 4x4/1 conv over 2x2
+    # space-to-depth input; it must be numerically equivalent AND use
+    # the identical param tree (same ('conv1','kernel') path, same init
+    # rng) so checkpoints/imports/fresh-init are knob-independent.
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    plain = ResNetBody(layers=(1, 1, 1, 1))
+    s2d = ResNetBody(layers=(1, 1, 1, 1), s2d_stem=True)
+    vp = plain.init(jax.random.PRNGKey(0), x)
+    vs = s2d.init(jax.random.PRNGKey(0), x)
+    # identical param trees (paths AND values)
+    lp = jax.tree_util.tree_leaves_with_path(vp)
+    ls = jax.tree_util.tree_leaves_with_path(vs)
+    assert [k for k, _ in lp] == [k for k, _ in ls]
+    for (k, a), (_, b) in zip(lp, ls):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(k))
+    outs_p = plain.apply(vp, x)
+    outs_s = s2d.apply(vp, x)
+    for a, b in zip(outs_p, outs_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+    # odd spatial dims fall back to the plain conv (no crash, same out)
+    xo = jnp.asarray(rng.rand(1, 33, 35, 3).astype(np.float32))
+    o1 = plain.apply(vp, xo)
+    o2 = s2d.apply(vp, xo)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
