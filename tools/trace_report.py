@@ -39,6 +39,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("path")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument(
+        "--instances", default=None, metavar="CATEGORY",
+        help="also list top individual HLO instances (no .NNN "
+        "aggregation) of one hlo_category, with long_name details",
+    )
     args = ap.parse_args()
 
     f = find_trace(args.path)
@@ -67,6 +72,8 @@ def main():
     by_cat = collections.Counter()
     by_op = collections.Counter()
     op_cat = {}
+    by_inst = collections.Counter()
+    inst_meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e["pid"] not in device_pids:
@@ -81,6 +88,12 @@ def main():
         op = base_name(e["name"])
         by_op[op] += dur
         op_cat[op] = cat
+        if args.instances and cat == args.instances:
+            by_inst[e["name"]] += dur
+            if e["name"] not in inst_meta:
+                inst_meta[e["name"]] = str(
+                    a.get("long_name") or a.get("tf_op") or ""
+                )
 
     print(f"{f}")
     print(f"{n_steps} steps, device {step_ms:.1f} ms/step, "
@@ -92,6 +105,14 @@ def main():
     print(f"{'op':52s} {'category':20s} {'ms/step':>9s}")
     for op, us in by_op.most_common(args.top):
         print(f"{op[:52]:52s} {op_cat[op][:20]:20s} {us/1e3/n_steps:9.2f}")
+
+    if args.instances:
+        print(f"\ntop {args.top} '{args.instances}' instances:")
+        for name, us in by_inst.most_common(args.top):
+            print(f"{us/1e3/n_steps:8.2f}  {name}")
+            meta = inst_meta.get(name, "")
+            if meta:
+                print(f"          {meta[:160]}")
 
 
 if __name__ == "__main__":
