@@ -19,7 +19,6 @@ def main():
     from cpm_tpu.data.synthetic import synthetic_batch
     from cpm_tpu.engine.train import create_train_state
     from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
-    from cpm_tpu.modeling.model import build_model
 
     # trivial dispatch cost
     f = jax.jit(lambda x: x + 1)
@@ -37,10 +36,9 @@ def main():
     print(f"trivial sync dispatch:    {(time.time()-t0)/20*1e3:.2f} ms/call", flush=True)
 
     cfg = _flagship_cfg(tiny=False)
-    model = build_model(cfg)
     eb0 = synthetic_batch(batch_size=1, height=832, width=1344, max_gt=8,
                           num_classes=81, seed=0)
-    state = create_train_state(cfg, jax.random.PRNGKey(0), eb0)
+    model, _tx, state = create_train_state(cfg, jax.random.PRNGKey(0), eb0)
     cdtype = compute_dtype(cfg)
     eval_params = cast_floating_to(state.params, cdtype)
 
