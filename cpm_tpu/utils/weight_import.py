@@ -13,6 +13,7 @@ The name mapping is explicit (our module tree is known), not suffix
 matching — same capability, deterministic result.
 """
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -25,6 +26,48 @@ def _to_np(t):
         return np.asarray(t)
 
 
+def vgg16_reducedfc_name_mapping() -> Dict[str, str]:
+    """Donor-key rename map for SSD-style ``vgg16_reducedfc.pth``
+    pretrain checkpoints.
+
+    Same key set as the reference's literal VGG16_NAME_MAPPING
+    (/root/reference/pet/utils/checkpointer.py:241-272), derived here
+    from the VGG16-D layout instead of spelled out: the donor state
+    dict uses bare ``nn.Sequential`` indices (convs at 0..28, plus the
+    reduced-fc extras at 31/33); the target model splits the trunk
+    after conv4_3 into ``features1`` (donor indices preserved) and
+    ``features2`` (indices rebased by the 23 layers before the split),
+    with the reduced fc6/fc7 becoming ``conv6``/``conv7``.
+    """
+    conv_idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    mapping = {}
+    for i in conv_idx:
+        tgt = f"features1.{i}" if i <= 21 else f"features2.{i - 23}"
+        for p in ("weight", "bias"):
+            mapping[f"{i}.{p}"] = f"{tgt}.{p}"
+    for i, tgt in ((31, "conv6"), (33, "conv7")):
+        for p in ("weight", "bias"):
+            mapping[f"{i}.{p}"] = f"{tgt}.{p}"
+    return mapping
+
+
+def apply_pretrain_name_mapping(
+    sd: Dict[str, np.ndarray], weights_path: str
+) -> Dict[str, np.ndarray]:
+    """Rename donor keys for known pretrain formats before alignment.
+
+    Mirrors CheckPointer.weight_mapping
+    (/root/reference/pet/utils/checkpointer.py:59-72): triggered by the
+    checkpoint filename containing ``vgg16_reducedfc``, and strict —
+    every donor key must be in the map, exactly as the reference's
+    ``mapping[old_name]`` lookup is.
+    """
+    if "vgg16_reducedfc" not in os.path.basename(str(weights_path)):
+        return sd
+    mapping = vgg16_reducedfc_name_mapping()
+    return {mapping[k]: v for k, v in sd.items()}
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
@@ -34,10 +77,11 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             if key in sd and isinstance(sd[key], dict):
                 sd = sd[key]
                 break
-    return {
+    out = {
         k[len("module.") :] if k.startswith("module.") else k: _to_np(v)
         for k, v in sd.items()
     }
+    return apply_pretrain_name_mapping(out, path)
 
 
 def fold_bn(sd: Dict[str, np.ndarray], prefix: str, eps: float = 1e-5):
