@@ -402,7 +402,9 @@ def _new_defaults():
     C.TPU.IMAGE_BUCKETS = ()
     C.TPU.RPN_PROPOSAL_PAD = 1000  # static proposal count fed to RoI heads
     # FPN pooling backend: 'auto' (pallas on TPU, gather elsewhere),
-    # 'pallas' (windowed-DMA separable-matmul kernel), or 'gather'
+    # 'pallas' (windowed-DMA separable-matmul kernel), 'stacked'
+    # (switch-free stacked-levels variant, bit-identical; see
+    # docs/PROFILE.md ninth pass), or 'gather'
     C.TPU.POOLER_KERNEL = "auto"
     # RPN pre-NMS top-k via lax.approx_max_k (TPU-native PartialReduce,
     # recall 0.95 over >8192 anchors/level; exact fallback elsewhere)
@@ -632,7 +634,7 @@ def assert_and_infer_cfg(target=None, make_immutable=True):
     _check(t.TEST.BBOX_VOTE.SCORING_METHOD in
            ("ID", "AVG", "IOU_AVG", "GENERALIZED_AVG", "QUASI_SUM"),
            f"TEST.BBOX_VOTE.SCORING_METHOD invalid: {t.TEST.BBOX_VOTE.SCORING_METHOD}")
-    _check(t.TPU.POOLER_KERNEL in ("auto", "pallas", "gather"),
+    _check(t.TPU.POOLER_KERNEL in ("auto", "pallas", "stacked", "gather"),
            f"TPU.POOLER_KERNEL invalid: {t.TPU.POOLER_KERNEL}")
     _check(len(t.TRAIN.SCALES) > 0 and all(s > 0 for s in t.TRAIN.SCALES),
            "TRAIN.SCALES must be non-empty positive")

@@ -25,11 +25,14 @@ from cpm_tpu.structures.boxes import box_area
 
 # Pooling backend: 'pallas' = the windowed DMA + separable-matmul kernel
 # (cpm_tpu/ops/pallas/multilevel_pallas.py, ~1.3x the gather path on v5e,
-# exact for aspect ratios <= ~9.7); 'gather' = the pure-XLA formulation;
-# 'auto' = pallas on TPU backends, gather elsewhere. Set from
-# cfg.TPU.POOLER_KERNEL by build_model; pallas silently falls back to
-# gather when the static shape check fails (huge images, pool sizes
-# beyond the window).
+# exact for aspect ratios <= ~9.7); 'stacked' = the switch-free
+# stacked-levels variant (bit-identical outputs; measured neutral fwd /
+# slower bwd on v5e — docs/PROFILE.md ninth pass — kept for other
+# hardware generations); 'gather' = the pure-XLA formulation; 'auto' =
+# pallas on TPU backends, gather elsewhere. Set from
+# cfg.TPU.POOLER_KERNEL by build_model; both pallas kernels silently
+# fall back to gather when the static shape check fails (huge images,
+# pool sizes beyond the window).
 _BACKEND = "auto"
 
 # rois per call routed through the gather-path exactness fallback when
@@ -45,7 +48,7 @@ OVERFLOW_CAP_WIDE = 64
 
 def set_pooler_backend(name: str):
     global _BACKEND
-    assert name in ("auto", "pallas", "gather"), name
+    assert name in ("auto", "pallas", "stacked", "gather"), name
     _BACKEND = name
 
 
@@ -159,12 +162,19 @@ class Pooler:
                 self.canonical_scale,
                 self.canonical_level,
             )
+            backend = _resolve_backend()
             use_pallas = False
-            if _resolve_backend() == "pallas":
+            if backend in ("pallas", "stacked"):
                 from cpm_tpu.ops.pallas.multilevel_pallas import (
                     multilevel_roi_align_pallas,
                     pallas_supported,
                 )
+
+                if backend == "stacked":
+                    from cpm_tpu.ops.pallas.stacked_pallas import (
+                        multilevel_roi_align_stacked as
+                        multilevel_roi_align_pallas,
+                    )
 
                 level_hw = [
                     (int(f.shape[1]), int(f.shape[2])) for f in features

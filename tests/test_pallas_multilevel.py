@@ -202,3 +202,71 @@ def test_pooler_overflow_fallback_exact_on_tpu():
     finally:
         set_pooler_backend("auto")
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---- switch-free stacked-levels variant (ops/pallas/stacked_pallas.py) ----
+# Bit-identical to the windowed kernel by construction (same _prep_rois
+# coordinate math, same matmul formulation); measured neutral-fwd /
+# slower-bwd on v5e (docs/PROFILE.md ninth pass), kept as a selectable
+# backend for other hardware generations.
+
+
+@pytest.mark.parametrize("pool", [(7, 7), (14, 14)])
+def test_stacked_forward_matches_windowed(pool):
+    from cpm_tpu.ops.pallas.stacked_pallas import (
+        multilevel_roi_align_stacked,
+    )
+
+    feats, rois, levels = _setup(seed=5)
+    valid = jnp.asarray(np.arange(rois.shape[0]) % 5 != 3)
+    want = multilevel_roi_align_pallas(
+        tuple(feats), (rois, levels, valid), pool, SCALES, 2, False, True
+    )
+    got = multilevel_roi_align_stacked(
+        tuple(feats), (rois, levels, valid), pool, SCALES, 2, False, True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_stacked_backward_matches_windowed():
+    from cpm_tpu.ops.pallas.stacked_pallas import (
+        multilevel_roi_align_stacked,
+    )
+
+    feats, rois, levels = _setup(seed=6, R=24)
+    pool = (7, 7)
+
+    def loss(fn):
+        def f(fs):
+            out = fn(
+                tuple(fs), (rois, levels), pool, SCALES, 2, False, True
+            )
+            return jnp.sum(out * out)
+
+        return f
+
+    g_win = jax.grad(loss(multilevel_roi_align_pallas))(list(feats))
+    g_stk = jax.grad(loss(multilevel_roi_align_stacked))(list(feats))
+    for i, (gw, gs) in enumerate(zip(g_win, g_stk)):
+        np.testing.assert_array_equal(
+            np.asarray(gs), np.asarray(gw), err_msg=f"level {i}"
+        )
+
+
+def test_stacked_backend_selectable_in_pooler():
+    from cpm_tpu.ops.pooler import Pooler, set_pooler_backend
+
+    feats, rois, levels = _setup(seed=7, R=16)
+    pool = Pooler((7, 7), SCALES, 2)
+    try:
+        set_pooler_backend("gather")
+        want = np.asarray(pool(feats, rois))
+        # 'stacked' resolves through pallas_supported; C=8 fails the
+        # lane-alignment check on this rig, so it falls back to gather —
+        # the selection path itself (config value -> backend) is what
+        # this test pins
+        set_pooler_backend("stacked")
+        got = np.asarray(pool(feats, rois))
+    finally:
+        set_pooler_backend("auto")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

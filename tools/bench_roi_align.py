@@ -39,6 +39,9 @@ def main():
         multilevel_roi_align_pallas,
         pallas_supported,
     )
+    from cpm_tpu.ops.pallas.stacked_pallas import (
+        multilevel_roi_align_stacked,
+    )
     from cpm_tpu.ops.roi_align import multilevel_roi_align
 
     B, C = 2, args.channels
@@ -110,11 +113,27 @@ def main():
         tuple(fs), (rois, levels, valid), pool, scales, 2, False, False
     )
 
+    stacked_fn = lambda fs: multilevel_roi_align_stacked(  # noqa: E731
+        tuple(fs), (rois, levels, valid), pool, scales, 2, False, False
+    )
+
     g_f = bench("xla gather fwd", gather_fn)
     p_f = bench("pallas windowed fwd", pallas_fn)
+    s_f = bench("pallas stacked fwd", stacked_fn)
     g_b = bench("xla gather fwd+bwd", gather_fn, grad=True)
     p_b = bench("pallas windowed fwd+bwd", pallas_fn, grad=True)
+    s_b = bench("pallas stacked fwd+bwd", stacked_fn, grad=True)
     print(f"speedup: fwd {g_f / p_f:.2f}x   fwd+bwd {g_b / p_b:.2f}x")
+    print(
+        f"stacked vs windowed: fwd {p_f / s_f:.2f}x   "
+        f"fwd+bwd {p_b / s_b:.2f}x"
+    )
+    err_ps = np.max(np.abs(np.asarray(
+        multilevel_roi_align_pallas(
+            feats, (rois, levels, valid), pool, scales, 2, False, False
+        ), np.float32,
+    ) - np.asarray(stacked_fn(feats), np.float32)))
+    print(f"max |windowed - stacked| on device: {err_ps:.2e}")
 
     # numerics on hardware
     a = np.asarray(
