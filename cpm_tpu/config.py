@@ -163,6 +163,11 @@ def _new_defaults():
     C.TEST.BBOX_AUG.H_FLIP = False
     C.TEST.BBOX_AUG.SCALES = ()
     C.TEST.BBOX_AUG.MAX_SIZE = 4000
+    # Eval regression guard (reference evaluation.py:57-58,386-405 — dormant
+    # there with a hard-coded empty tuple; config-driven here so it can fire).
+    # Entries: ("<metric>", <mean>, <std>), e.g. ("AP", 0.417, 0.003).
+    C.TEST.EXPECTED_RESULTS = ()
+    C.TEST.EXPECTED_RESULTS_SIGMA_TOL = 4
 
     # ---- BACKBONE ----
     C.BACKBONE = AttrDict()

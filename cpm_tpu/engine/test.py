@@ -372,4 +372,13 @@ def evaluate_results(cfg, dataset, results, output_dir: Optional[str] = None):
     stats = evaluator.evaluate(
         results, img_ids=[dataset.id_to_img_map[i] for i in range(len(dataset))]
     )
+    # Regression guard (reference evaluation.py:104, dormant there;
+    # config-driven here). Log-only, like the reference.
+    from cpm_tpu.evaluation.coco_eval import check_expected_results
+
+    check_expected_results(
+        stats,
+        cfg.TEST.EXPECTED_RESULTS,
+        cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL,
+    )
     return stats

@@ -269,3 +269,42 @@ class COCOEvaluator:
             "AP90": self._ap(iou=0.9),
         }
         return s
+
+
+def check_expected_results(stats, expected_results, sigma_tol, log=print):
+    """Eval regression guard (reference evaluation.py:386-405).
+
+    The reference ships this dormant (``expected_results = ()`` hard-coded at
+    evaluation.py:57); here it is driven by ``TEST.EXPECTED_RESULTS`` /
+    ``TEST.EXPECTED_RESULTS_SIGMA_TOL``. Each entry is (metric, mean, std)
+    over the keys of :meth:`COCOEvaluator.summarize` (the reference's
+    3-tuples carry a task name too; we have one task, bbox). Returns the
+    list of failure messages (empty = all inside mean ± sigma_tol·std) so
+    callers can raise or just log, matching the reference's log-only
+    behavior by default.
+    """
+    failures = []
+    if not expected_results:
+        return failures
+    for entry in expected_results:
+        metric, mean, std = entry[0], float(entry[1]), float(entry[2])
+        if metric not in stats:
+            msg = f"FAIL: expected-results metric {metric!r} not in eval stats"
+            failures.append(msg)
+            log(msg)
+            continue
+        actual = float(stats[metric])
+        lo = mean - sigma_tol * std
+        hi = mean + sigma_tol * std
+        ok = lo < actual < hi
+        msg = (
+            f"bbox > {metric} sanity check (actual vs. expected): "
+            f"{actual:.3f} vs. mean={mean:.4f}, std={std:.4}, "
+            f"range=({lo:.4f}, {hi:.4f})"
+        )
+        if ok:
+            log("PASS: " + msg)
+        else:
+            failures.append("FAIL: " + msg)
+            log("FAIL: " + msg)
+    return failures

@@ -122,3 +122,35 @@ def test_iou_crowd_denominator():
     iou_crowd = bbox_iou_xywh(dt, gtb, np.array([1]))
     assert np.isclose(iou_normal[0, 0], 100 / 400)
     assert np.isclose(iou_crowd[0, 0], 1.0)  # inter / det area
+
+
+def test_check_expected_results_guard():
+    """Regression guard semantics (reference evaluation.py:386-405)."""
+    from cpm_tpu.evaluation.coco_eval import check_expected_results
+
+    stats = {"AP": 0.417, "AP50": 0.592}
+    logs = []
+    # Inside the band -> PASS, no failures.
+    fails = check_expected_results(
+        stats, (("AP", 0.416, 0.003),), 4, log=logs.append
+    )
+    assert fails == []
+    assert logs and logs[0].startswith("PASS: bbox > AP")
+    # Outside mean + sigma_tol*std -> FAIL recorded and logged.
+    fails = check_expected_results(
+        stats, (("AP50", 0.50, 0.002), ("AP", 0.417, 0.01)), 4, log=logs.append
+    )
+    assert len(fails) == 1 and "AP50" in fails[0]
+    # Unknown metric is a failure, not a crash.
+    fails = check_expected_results(stats, (("APx", 0.1, 0.1),), 4, log=logs.append)
+    assert len(fails) == 1 and "APx" in fails[0]
+    # Empty tuple (the reference's shipped state) is a no-op.
+    assert check_expected_results(stats, (), 4, log=logs.append) == []
+
+
+def test_expected_results_cfg_keys_exist():
+    from cpm_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    assert cfg.TEST.EXPECTED_RESULTS == ()
+    assert cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL == 4
