@@ -29,6 +29,26 @@ def h_swish(x):
     return x * jax.nn.relu6(x + 3.0) / 6.0
 
 
+def h_sigmoid(x):
+    """H_Sigmoid (pet/lib/ops/swish.py:12-15)."""
+    return jax.nn.relu6(x + 3.0) / 6.0
+
+
+class SwishX(nn.Module):
+    """Swish clamped above a learnable maximum (pet/lib/ops/swish.py:26-33):
+    out = min(x*sigmoid(x), maximal) with `maximal` a trained scalar."""
+
+    maxvalue: float = 2.72
+
+    @nn.compact
+    def __call__(self, x):
+        maximal = self.param(
+            "maximal",
+            lambda key: jnp.asarray([self.maxvalue], jnp.float32),
+        )
+        return jnp.minimum(x * jax.nn.sigmoid(x) - maximal, 0.0) + maximal
+
+
 class Scale(nn.Module):
     """Learnable scalar multiplier (pet/lib/ops scale.py)."""
 
@@ -90,6 +110,35 @@ class Conv2dWS(nn.Module):
                 "bias", nn.initializers.zeros, (self.features,)
             )
         return out
+
+
+class Conv2dSamePadding(nn.Module):
+    """TensorFlow-style "SAME" conv (pet/lib/ops/conv2d_samepadding.py).
+
+    The reference reimplements TF SAME padding in torch (asymmetric
+    ceil-div padding so out = ceil(in/stride)); XLA's "SAME" padding IS
+    that rule, so this is nn.Conv with padding="SAME" — kept as a named
+    module for registry/API parity with the reference's layer zoo.
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    kernel_dilation: Sequence[int] = (1, 1)
+    feature_group_count: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            tuple(self.kernel_size),
+            strides=tuple(self.strides),
+            padding="SAME",
+            kernel_dilation=tuple(self.kernel_dilation),
+            feature_group_count=self.feature_group_count,
+            use_bias=self.use_bias,
+        )(x)
 
 
 class DropBlock2D(nn.Module):

@@ -193,6 +193,64 @@ def iou_loss(
     return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def iou_loss_lrtb(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: jnp.ndarray | None = None,
+    loss_type: str = "iou",
+) -> jnp.ndarray:
+    """FCOS-style IoU losses over (l, t, r, b) distances
+    (lib/ops/iou_loss.py:8-107, box_type='lrtb').
+
+    Covers iou / liou / giou / diou / ciou with the reference's exact
+    formulas, including its (inter+1)/(union+1) smoothing and its
+    center-offset expressions for the diou/ciou penalty. Reduction is the
+    reference's: weighted sum when weight is given and sums > 0, else
+    plain sum (expressed with where so shapes stay static).
+    """
+    pl, pt, pr, pb = (pred[..., i] for i in range(4))
+    tl, tt, tr, tb = (target[..., i] for i in range(4))
+    ta = (tl + tr) * (tt + tb)
+    pa = (pl + pr) * (pt + pb)
+    w_i = jnp.minimum(pl, tl) + jnp.minimum(pr, tr)
+    h_i = jnp.minimum(pb, tb) + jnp.minimum(pt, tt)
+    g_w = jnp.maximum(pl, tl) + jnp.maximum(pr, tr)
+    g_h = jnp.maximum(pb, tb) + jnp.maximum(pt, tt)
+    inter = w_i * h_i
+    union = ta + pa - inter
+    ac_union = g_w * g_h + 1e-7
+    ious = (jnp.clip(inter, 0.0) + 1.0) / (union + 1.0)
+    if loss_type == "iou":
+        losses = -jnp.log(ious)
+    elif loss_type == "liou":
+        losses = 1.0 - ious
+    elif loss_type == "giou":
+        losses = 1.0 - (ious - (ac_union - union) / ac_union)
+    elif loss_type in ("diou", "ciou"):
+        # center expressions as written in the reference (iou_loss.py:43-50)
+        inter_diag = ((tr - tl) / 2 - (pr - pl) / 2) ** 2 + (
+            (tt - tb) / 2 - (pt - pb) / 2
+        ) ** 2
+        outer_diag = g_w**2 + g_h**2
+        u = inter_diag / outer_diag
+        if loss_type == "diou":
+            losses = 1.0 - (ious - u)
+        else:
+            v = (4.0 / (jnp.pi**2)) * (
+                jnp.arctan((tl + tr) / (tt + tb + 1e-7))
+                - jnp.arctan((pl + pr) / (pt + pb + 1e-7))
+            ) ** 2
+            alpha = v / ((1.0 - ious) + v)
+            losses = 1.0 - (ious - (u + alpha * v))
+    else:
+        raise ValueError(loss_type)
+    if weight is None:
+        return jnp.sum(losses)
+    return jnp.where(
+        jnp.sum(weight) > 0, jnp.sum(losses * weight), jnp.sum(losses)
+    )
+
+
 def bounded_iou_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,
@@ -286,6 +344,96 @@ def lovasz_hinge(
     lg = logits.reshape(logits.shape[0], -1)
     lb = labels.reshape(labels.shape[0], -1).astype(lg.dtype)
     return jnp.mean(jax.vmap(per_image)(lg, lb))
+
+
+def smooth_l1_loss_LW(
+    pred: jnp.ndarray,
+    targets: jnp.ndarray,
+    inside_weights: jnp.ndarray,
+    outside_weights: jnp.ndarray,
+    beta: float = 1.0,
+) -> jnp.ndarray:
+    """Detectron-style weighted smooth-L1 (lib/ops/smooth_l1_loss.py:31-48).
+
+    loss = sum(outside_w * Huber(inside_w * (pred - target), beta)) / N,
+    N = leading batch dim of pred.
+    """
+    diff = inside_weights * (pred - targets)
+    n = jnp.abs(diff)
+    per_elem = jnp.where(n < beta, 0.5 * n * n / beta, n - 0.5 * beta)
+    return jnp.sum(outside_weights * per_elem) / pred.shape[0]
+
+
+def lovasz_softmax(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int | None = None,
+    only_present: bool = True,
+) -> jnp.ndarray:
+    """Multi-class Lovász-Softmax (lib/ops/lovasz_softmax_loss.py).
+
+    logits [B, H, W, C] (NHWC here vs the reference's NCHW), labels
+    [B, H, W] int in [0, C). The reference drops ignore_index pixels by
+    boolean indexing (dynamic shape); here they are masked instead:
+    their errors sort to the end with zero weight, so the cumulative
+    intersection/union — and hence the Lovász gradient — advance
+    identically over the valid prefix. vmap over classes replaces the
+    reference's Python loop.
+    """
+    C = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    def per_image(prb, lbl):
+        prb = prb.reshape(-1, C)
+        lbl = lbl.reshape(-1)
+        valid = (
+            jnp.ones_like(lbl, dtype=prb.dtype)
+            if ignore_index is None
+            else (lbl != ignore_index).astype(prb.dtype)
+        )
+
+        def per_class(c):
+            fg = (lbl == c).astype(prb.dtype) * valid
+            errors = jnp.abs(fg - prb[:, c])
+            # masked pixels sort last and contribute nothing
+            errors = jnp.where(valid > 0, errors, -jnp.inf)
+            order = jnp.argsort(-errors)
+            err_s = errors[order]
+            fg_s = fg[order]
+            val_s = valid[order]
+            gts = jnp.sum(fg_s)
+            intersection = gts - jnp.cumsum(fg_s)
+            union = gts + jnp.cumsum((1.0 - fg_s) * val_s)
+            jaccard = 1.0 - intersection / jnp.maximum(union, 1e-7)
+            grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+            present = (gts > 0).astype(prb.dtype)
+            w = present if only_present else jnp.asarray(1.0, prb.dtype)
+            return jnp.sum(jnp.where(val_s > 0, err_s, 0.0) * grad) * w, (
+                present if only_present else jnp.asarray(1.0, prb.dtype)
+            )
+
+        losses, counts = jax.vmap(per_class)(jnp.arange(C))
+        cnt = jnp.sum(counts)
+        any_valid = jnp.sum(valid) > 0
+        return jnp.where(
+            any_valid & (cnt > 0), jnp.sum(losses) / jnp.maximum(cnt, 1.0), 0.0
+        )
+
+    return jnp.mean(jax.vmap(per_image)(probs, labels))
+
+
+def mask_iou_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """MaskIOULoss (lib/ops/iou_loss.py:139-150, PolarMask-style).
+
+    pred/target [N, K] per-ray distances: loss_i = log(sum_k max / sum_k min),
+    weighted and summed.
+    """
+    l_max = jnp.maximum(pred, target)
+    l_min = jnp.minimum(pred, target)
+    loss = jnp.log(jnp.sum(l_max, axis=1) / jnp.sum(l_min, axis=1))
+    return jnp.sum(loss * weight)
 
 
 def equalization_loss(
