@@ -183,6 +183,9 @@ def _new_defaults():
     C.BACKBONE.RESNET.USE_ALIGN = False  # AlignedBottleneck (ref config.py:470)
     C.BACKBONE.RESNET.AVG_DOWN = False
     C.BACKBONE.RESNET.USE_GN = False
+    # weight-standardize all trunk convs (reference config.py:467, gate
+    # backbone/ResNet.py:291-321; also covers the C5/2mlp RoI heads)
+    C.BACKBONE.RESNET.USE_WS = False
     C.BACKBONE.RESNET.STAGE_WITH_CONTEXT = ("none", "none", "none", "none")
     C.BACKBONE.RESNET.CTX_RATIO = 0.0625
     C.BACKBONE.RESNET.STAGE_WITH_CONV = ("normal", "normal", "normal", "normal")
@@ -200,6 +203,7 @@ def _new_defaults():
     C.BACKBONE.RESNEXT.USE_ALIGN = False  # AlignedBottleneck (ref config.py:523)
     C.BACKBONE.RESNEXT.AVG_DOWN = False
     C.BACKBONE.RESNEXT.USE_GN = False
+    C.BACKBONE.RESNEXT.USE_WS = False  # reference config.py:520
     C.BACKBONE.RESNEXT.STAGE_WITH_CONTEXT = ("none", "none", "none", "none")
     C.BACKBONE.RESNEXT.CTX_RATIO = 0.0625
     C.BACKBONE.RESNEXT.STAGE_WITH_CONV = ("normal", "normal", "normal", "normal")
@@ -224,6 +228,9 @@ def _new_defaults():
     C.FPN.EXTRA_CONV_LEVELS = False
     C.FPN.USE_BN = False
     C.FPN.USE_GN = False
+    # weight-standardize the lateral/posthoc convs (reference config.py:603,
+    # gate fpn/FPN.py:77-78)
+    C.FPN.USE_WS = False
 
     # HRFPN body (reference config.py:631-649)
     C.FPN.HRFPN = AttrDict()
@@ -293,12 +300,18 @@ def _new_defaults():
     C.FAST_RCNN.MLP_HEAD.MLP_DIM = 1024
     C.FAST_RCNN.MLP_HEAD.USE_BN = False
     C.FAST_RCNN.MLP_HEAD.USE_GN = False
+    # reference config.py:816 — a no-op there too (the 2-MLP head has no
+    # convs for convert_conv2convws_model to rewrite); key accepted for
+    # YAML compatibility
+    C.FAST_RCNN.MLP_HEAD.USE_WS = False
     C.FAST_RCNN.CONVFC_HEAD = AttrDict()
     C.FAST_RCNN.CONVFC_HEAD.DILATION = 1
     C.FAST_RCNN.CONVFC_HEAD.CONV_DIM = 256
     C.FAST_RCNN.CONVFC_HEAD.NUM_STACKED_CONVS = 4
     C.FAST_RCNN.CONVFC_HEAD.MLP_DIM = 1024
     C.FAST_RCNN.CONVFC_HEAD.USE_BN = False
+    # weight-standardize the stacked convs (reference config.py:845)
+    C.FAST_RCNN.CONVFC_HEAD.USE_WS = False
     C.FAST_RCNN.CONVFC_HEAD.USE_GN = False
 
     # ---- GRID_RCNN ----
@@ -347,6 +360,9 @@ def _new_defaults():
     C.GRID_RCNN.MLP_HEAD.MLP_DIM = 1024
     C.GRID_RCNN.MLP_HEAD.USE_BN = False
     C.GRID_RCNN.MLP_HEAD.USE_GN = False
+    # reference config.py:966 — no-op there too (cls head is 2 FCs);
+    # accepted for YAML compatibility
+    C.GRID_RCNN.MLP_HEAD.USE_WS = False
     C.GRID_RCNN.GRID_HEAD = AttrDict()
     C.GRID_RCNN.GRID_HEAD.NUM_CONVS = 8
     C.GRID_RCNN.GRID_HEAD.POINT_FEAT_CHANNELS = 64

@@ -28,6 +28,7 @@ from cpm_tpu.modeling import registry
 from cpm_tpu.modeling.context import make_context
 from cpm_tpu.modeling import initializers as init_scheme
 from cpm_tpu.modeling.norm import make_norm
+from cpm_tpu.modeling.ws import maybe_ws
 from cpm_tpu.ops.deform_conv import DeformConvPack, ModulatedDeformConvPack
 
 
@@ -461,7 +462,8 @@ class ResNetBody(nn.Module):
 def build_resnet(cfg):
     r = cfg.BACKBONE.RESNET
     norm = "gn" if r.USE_GN else "affine"
-    return ResNetBody(
+    # USE_WS: reference gate backbone/ResNet.py:291-292
+    return maybe_ws(ResNetBody, r.USE_WS)(
         base_planes=getattr(r, "BASE_PLANES", 64),
         layers=tuple(r.LAYERS),
         width=r.WIDTH,
@@ -487,7 +489,7 @@ def build_resnet_c4(cfg):
     resnet_c5_head / resnet_2mlp_head RoI heads for non-FPN models."""
     r = cfg.BACKBONE.RESNET
     norm = "gn" if r.USE_GN else "affine"
-    return ResNetBody(
+    return maybe_ws(ResNetBody, r.USE_WS)(
         base_planes=getattr(r, "BASE_PLANES", 64),
         layers=tuple(r.LAYERS)[:3],
         width=r.WIDTH,
@@ -510,7 +512,7 @@ def build_resnet_c4(cfg):
 def build_resnext(cfg):
     r = cfg.BACKBONE.RESNEXT
     norm = "gn" if r.USE_GN else "affine"
-    return ResNetBody(
+    return maybe_ws(ResNetBody, r.USE_WS)(
         layers=tuple(r.LAYERS),
         width=r.WIDTH,
         bottleneck=True,

@@ -123,9 +123,12 @@ class FPN(nn.Module):
 
 @registry.FPN_BODY.register("fpn")
 def build_fpn(cfg):
+    from cpm_tpu.modeling.ws import maybe_ws
+
     min_level, max_level = get_min_max_levels(cfg)
     norm = "gn" if cfg.FPN.USE_GN else ("bn" if cfg.FPN.USE_BN else "none")
-    return FPN(
+    # USE_WS: reference gate fpn/FPN.py:77-78
+    return maybe_ws(FPN, cfg.FPN.USE_WS)(
         fpn_dim=cfg.FPN.DIM,
         min_level=min_level,
         max_level=max_level,

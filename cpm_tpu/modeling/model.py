@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cpm_tpu.modeling import registry
+from cpm_tpu.modeling.ws import maybe_ws
 import cpm_tpu.modeling.backbone  # noqa: F401  (registers backbones)
 import cpm_tpu.modeling.roi_heads.c4_heads  # noqa: F401  (registers C4 heads)
 import cpm_tpu.modeling.necks_extra  # noqa: F401  (registers hrfpn/nasfpn/bifpn)
@@ -105,9 +106,13 @@ class FastRCNNHead(nn.Module):
             )
             if c.FAST_RCNN.ROI_BOX_HEAD == "resnet_2mlp_head":
                 kw["mlp_dim"] = c.FAST_RCNN.MLP_HEAD.MLP_DIM
-            self.head = head_cls(**kw)
+            # USE_WS on the C5/2mlp stage-5 convs (ResNet.py:310,321)
+            self.head = maybe_ws(head_cls, r.USE_WS)(**kw)
         else:
-            self.head = head_cls(
+            # USE_WS on the stacked convs (fast_rcnn/heads/convfc_heads.py:51)
+            self.head = maybe_ws(
+                head_cls, c.FAST_RCNN.CONVFC_HEAD.USE_WS
+            )(
                 resolution=tuple(c.FAST_RCNN.ROI_XFORM_RESOLUTION),
                 scales=scales,
                 sampling_ratio=c.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cpm_tpu.modeling import initializers as init_scheme
+from cpm_tpu.modeling.ws import maybe_ws
 from cpm_tpu.modeling.roi_heads.box_head import (
     Detections,
     TwoMLPHead,
@@ -94,9 +95,10 @@ class CascadeRCNNHead(nn.Module):
             sampling_ratio=c.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
         )
         head_cls = (
-            TwoMLPHead
+            TwoMLPHead  # USE_WS is a no-op on the conv-less MLP head,
+            # as in the reference (cascade_rcnn/heads/mlp_heads.py:38)
             if cc.ROI_BOX_HEAD == "roi_2mlp_head"
-            else ConvFCHead
+            else maybe_ws(ConvFCHead, c.FAST_RCNN.CONVFC_HEAD.USE_WS)
         )
         heads, outs = [], []
         for s in range(self.num_stage):
