@@ -9,6 +9,15 @@ throughput numbers; its recipe (global batch 16 over 8 GPUs, 180k iters
 for a "2x" schedule ~= 2 weeks wall clock class) implies order
 1.5-2 img/s/GPU — vs_baseline is measured against 1.75 img/s/chip.
 
+Structured to land inside a driver wall-clock budget even after a VM
+reset (first TPU backend init can take ~510 s): the headline
+measurement — realistic-density train throughput + MFU — runs FIRST,
+and every auxiliary stage (dense point, inference, host loader) is
+gated on remaining budget (CPM_BENCH_BUDGET_S, default 480 s measured
+from process start). If the budget is already gone when the headline
+lands, the JSON line is printed immediately and the process exits 0.
+The decode-pool scaling subprocess is opt-in via CPM_BENCH_POOL=1.
+
 Set CPM_BENCH_TRACE=<dir> to capture a jax.profiler trace of the timed
 steps. Runs the flagship CPM config (CMM+ISM+RSM, R-50-FPN, bf16 compute)
 on synthetic batches at the training resolution (832x1344 bucket).
@@ -19,6 +28,9 @@ import os
 import time
 
 import numpy as np
+
+T_START = time.time()
+BUDGET_S = float(os.environ.get("CPM_BENCH_BUDGET_S", "480"))
 
 BASELINE_TRAIN_IPS_PER_CHIP = 1.75  # see module docstring
 
@@ -31,10 +43,18 @@ PEAK_FLOPS = {
 }
 
 
+def _elapsed() -> float:
+    return time.time() - T_START
+
+
+def _have_budget(need_s: float) -> bool:
+    return _elapsed() + need_s < BUDGET_S
+
+
 def measure_pool_scaling():
     """N-worker ImagePool decode scaling (tools/bench_host_pipeline.py)
-    — evidence the host pipeline can feed a multi-chip slice. Returns
-    {workers: [...], images_per_sec: [...], peak_images_per_sec: N}."""
+    — evidence the host pipeline can feed a multi-chip slice. Opt-in
+    (CPM_BENCH_POOL=1): it spawns a subprocess that can take minutes."""
     import subprocess
     import sys
 
@@ -44,7 +64,8 @@ def measure_pool_scaling():
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "bench_host_pipeline.py"),
              "--images", "32"],
-            capture_output=True, text=True, timeout=600,
+            capture_output=True, text=True,
+            timeout=max(30, BUDGET_S - _elapsed() - 10),
         )
         data = json.loads(out.stdout.strip().splitlines()[-1])
         if "error" in data:
@@ -63,8 +84,6 @@ def measure_loader_throughput(cfg, n_images: int = 48):
     """Host data-path img/s: JPEG decode+resize+normalize+batch at the
     train resolution through TrainLoader (native ImagePool when built)."""
     import tempfile
-
-    import numpy as np
 
     try:
         from PIL import Image
@@ -135,87 +154,96 @@ def main():
 
     trace_dir = os.environ.get("CPM_BENCH_TRACE")
 
-    # ---- train throughput ----
+    # Result record: headline fields filled first, auxiliary fields
+    # upgraded in place as budget-gated stages complete. Exactly one
+    # JSON line is printed, as early as the budget demands.
+    result = dict(
+        metric="cpm_r50_fpn_train_throughput_per_chip",
+        value=None,
+        unit="images/sec/chip",
+        vs_baseline=None,
+        infer_images_per_sec_per_chip=None,
+        infer_batch4_images_per_sec_per_chip=None,
+        infer_batch1_latency_ms=None,
+        step_ms=None,
+        train_dense_images_per_sec_per_chip=None,
+        step_ms_dense=None,
+        mfu=None,
+        host_loader_images_per_sec=None,
+        host_pool_scaling=None,
+        compute_dtype=str(cfg.TPU.COMPUTE_DTYPE),
+    )
+
+    def emit():
+        print(json.dumps(result), flush=True)
+
+    # ---- HEADLINE: realistic-density train throughput (~6 gt/image,
+    # COCO trains at ~7 objects/image — the apples-to-apples operating
+    # point vs the reference recipe's 8x TITAN RTX run). The dense
+    # max_gt=32 worst case is measured later if budget remains
+    # (continuity with BENCH_r01, whose headline was dense). ----
     batch = synthetic_batch(
         batch_size=batch_size, height=height, width=width,
         max_gt=32, num_classes=81, seed=0,
     )
+    rt = {k: np.array(v) for k, v in batch.items()}
+    rt["gt_mask"] = rt["gt_mask"].copy()
+    rt["gt_mask"][:, 6:] = False
+
     mesh = make_mesh(n_dev)
     model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     step_fn = jit_train_step(make_train_step(cfg, model, tx), mesh)
-    steps, warmup = 8, 3
+    steps, warmup = 8, 2
     with mesh:
-        sharded = shard_batch(batch, mesh)
-        for _ in range(warmup):
-            state, metrics = step_fn(state, sharded)
+        sharded_rt = shard_batch(rt, mesh)
+        # AOT compile: trace + compile exactly once (the compile is a
+        # persistent-cache hit on a warmed machine), and the compiled
+        # executable's cost_analysis() is then free — no second
+        # lower().compile() retrace after the timed loop (that retrace
+        # is what pushed BENCH_r02-era runs past the driver budget).
+        print(f"# tracing train step [t+{_elapsed():.0f}s]", flush=True)
+        compiled = step_fn.lower(state, sharded_rt).compile()
+        print(f"# compiled [t+{_elapsed():.0f}s]", flush=True)
+        for w in range(warmup):
+            state, metrics = compiled(state, sharded_rt)
             # readout barrier: block_until_ready alone returns before the
             # enqueued chain executes on tunneled PJRT backends, so without
             # this the warmup's work lands inside the first timed step
             float(metrics["total_loss"])
+            print(f"# warmup {w + 1}/{warmup} [t+{_elapsed():.0f}s]",
+                  flush=True)
         if trace_dir:
             jax.profiler.start_trace(trace_dir)
         # steps chain through `state`, so ONE readout at the end reliably
-        # forces the whole sequence (block_until_ready alone returns
-        # before the enqueued chain has executed on tunneled PJRT
-        # backends). This matches the production train loop, which reads
-        # metrics only every DISPLAY_ITER — a per-step readout would add
-        # a full host RTT (~30 ms on tunneled transports) to every step
-        # and measure the link rather than the chip.
-        cache_after_warmup = step_fn._cache_size()
+        # forces the whole sequence. This matches the production train
+        # loop, which reads metrics only every DISPLAY_ITER — a per-step
+        # readout would add a full host RTT (~30 ms on tunneled
+        # transports) to every step and measure the link, not the chip.
         t0 = time.time()
         for _ in range(steps):
-            state, metrics = step_fn(state, sharded)
+            state, metrics = compiled(state, sharded_rt)
         final_loss = float(metrics["total_loss"])
-        train_dt = time.time() - t0
+        rt_dt = time.time() - t0
         if trace_dir:
             jax.profiler.stop_trace()
         assert np.isfinite(final_loss), final_loss
-        if step_fn._cache_size() != cache_after_warmup:
-            print(
-                f"# WARNING: train step retraced during timing "
-                f"({cache_after_warmup} -> {step_fn._cache_size()} entries)",
-                flush=True,
-            )
         print(
-            f"# {steps} chained steps in {train_dt:.3f}s "
-            f"({train_dt / steps * 1e3:.1f} ms/step), final loss "
-            f"{final_loss:.3f}",
+            f"# realistic-density: {steps} chained steps in {rt_dt:.3f}s "
+            f"({rt_dt / steps * 1e3:.1f} ms/step), final loss "
+            f"{final_loss:.3f} [t+{_elapsed():.0f}s]",
             flush=True,
         )
-    train_ips = batch_size * steps / train_dt
+    per_chip = batch_size * steps / rt_dt / n_dev
+    step_ms = rt_dt / steps * 1e3
+    result.update(
+        value=round(per_chip, 3),
+        vs_baseline=round(per_chip / BASELINE_TRAIN_IPS_PER_CHIP, 3),
+        step_ms=round(step_ms, 1),
+    )
 
-    # ---- realistic-density operating point (COCO ~7 objects/image) ----
-    # Same array shapes as the timed batch (no recompile) with only ~6
-    # valid gt per image: exercises the bucketed grid towers' small
-    # branch (grid_cascade_head.TOWER_BUCKETS), which is where realistic
-    # data lands — max_gt=32 dense synthetic is the worst case.
-    train_ips_realistic = rt_dt = None
+    # MFU from XLA's cost analysis of the already-compiled executable
     try:
-        rt = {k: np.array(v) for k, v in batch.items()}
-        rt["gt_mask"] = rt["gt_mask"].copy()
-        rt["gt_mask"][:, 6:] = False
-        with mesh:
-            sharded_rt = shard_batch(rt, mesh)
-            state, metrics = step_fn(state, sharded_rt)
-            float(metrics["total_loss"])  # barrier
-            t0 = time.time()
-            for _ in range(steps):
-                state, metrics = step_fn(state, sharded_rt)
-            float(metrics["total_loss"])
-            rt_dt = time.time() - t0
-        train_ips_realistic = batch_size * steps / rt_dt
-        print(
-            f"# realistic-density: {steps} steps in {rt_dt:.3f}s "
-            f"({rt_dt / steps * 1e3:.1f} ms/step)",
-            flush=True,
-        )
-    except Exception as e:  # never let the extra metric kill the bench
-        print(f"# realistic-density point unavailable: {e}", flush=True)
-
-    # MFU from XLA's cost analysis of the compiled step
-    mfu = None
-    try:
-        cost = step_fn.lower(state, sharded).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0))
@@ -224,111 +252,132 @@ def main():
             (v for k, v in PEAK_FLOPS.items() if kind.startswith(k)), 197e12
         )
         if flops_per_step > 0:
-            mfu = flops_per_step / (train_dt / steps) / (peak * n_dev)
+            result["mfu"] = round(
+                flops_per_step / (rt_dt / steps) / (peak * n_dev), 4
+            )
     except Exception as e:  # cost analysis is best-effort on some backends
         print(f"# cost_analysis unavailable: {e}", flush=True)
 
+    # If the budget is effectively gone (cold backend init ate it),
+    # publish the headline now and stop — a parsed artifact with the
+    # headline beats a timeout with nothing.
+    if not _have_budget(30):
+        print(f"# budget exhausted at t+{_elapsed():.0f}s; "
+              f"headline only", flush=True)
+        emit()
+        return
+
+    # ---- dense worst-case point (max_gt=32; BENCH_r01 continuity) ----
+    try:
+        with mesh:
+            # identical array shapes/dtypes as the realistic batch, so
+            # the AOT-compiled executable serves it — no retrace
+            sharded = shard_batch(batch, mesh)
+            state, metrics = compiled(state, sharded)
+            float(metrics["total_loss"])  # barrier
+            t0 = time.time()
+            for _ in range(steps):
+                state, metrics = compiled(state, sharded)
+            float(metrics["total_loss"])
+            train_dt = time.time() - t0
+        result.update(
+            train_dense_images_per_sec_per_chip=round(
+                batch_size * steps / train_dt / n_dev, 3
+            ),
+            step_ms_dense=round(train_dt / steps * 1e3, 1),
+        )
+        print(
+            f"# dense: {steps} steps in {train_dt:.3f}s "
+            f"({train_dt / steps * 1e3:.1f} ms/step) [t+{_elapsed():.0f}s]",
+            flush=True,
+        )
+    except Exception as e:  # never let the extra metric kill the bench
+        print(f"# dense point unavailable: {e}", flush=True)
+
+    if not _have_budget(60):
+        emit()
+        return
+
     # ---- inference throughput (batch-1 eval forward, TEST tops) ----
-    from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
+    try:
+        from cpm_tpu.utils.amp import cast_floating_to, compute_dtype
 
-    cdtype = compute_dtype(cfg)
-    eval_params = cast_floating_to(state.params, cdtype)
+        cdtype = compute_dtype(cfg)
+        eval_params = cast_floating_to(state.params, cdtype)
 
-    # params as an ARGUMENT, not a closure: closed-over arrays become HLO
-    # constants — 100MB of literals per compile (and a rejected
-    # remote-compile request on tunneled PJRT backends)
-    @jax.jit
-    def forward(p, images, image_sizes):
-        return model.apply(
-            {"params": p}, images.astype(cdtype), image_sizes, train=False
-        )
-
-    import jax.numpy as jnp
-
-    def run_infer(bs, iters):
-        """Depth-2 pipelined throughput + synchronous latency.
-
-        Inputs are device-resident (the eval engine's loader pipelines
-        host->device copies behind compute). Depth-2 = dispatch batch
-        i+1, then read batch i — the eval engine's pattern
-        (engine/test.py): the readout round trip overlaps the next
-        batch's execution instead of serializing after it.
-        """
-        eb = synthetic_batch(
-            batch_size=bs, height=height, width=width, max_gt=8,
-            num_classes=81, seed=1,
-        )
-        images = jax.device_put(eb["images"])
-        sizes = jax.device_put(eb["image_sizes"])
-        d = forward(eval_params, images, sizes)
-        float(d.scores.sum())  # force the warmup before timing
-        t0 = time.time()
-        for _ in range(3):
-            d = forward(eval_params, images, sizes)
-            float(d.scores.sum())
-        sync_lat = (time.time() - t0) / 3 * 1e3
-        t0 = time.time()
-        pend = None
-        total = 0.0
-        for _ in range(iters):
-            cur = forward(eval_params, images, sizes)
-            if pend is not None:
-                total += float(pend.scores.sum())
-            pend = cur
-        total += float(pend.scores.sum())
-        dt = time.time() - t0
-        assert np.isfinite(total)
-        return bs * iters / dt, sync_lat
-
-    # batch 1 = latency operating point; batch 4 = throughput operating
-    # point (TEST.IMS_PER_GPU batching in the eval engine; measured
-    # 12.7 / 16.2 / 19.8 img/s at bs 1/2/4 on v5e)
-    infer_ips, infer_lat_ms = run_infer(1, 12)
-    infer_ips /= n_dev
-    infer_b4_ips, _ = run_infer(4, 6)
-    infer_b4_ips /= n_dev
-
-    loader_ips = measure_loader_throughput(cfg)
-    pool_scaling = measure_pool_scaling()
-
-    # Headline = the realistic-density point (~6 gt/image): the baseline
-    # it is compared against (BASELINE_TRAIN_IPS_PER_CHIP, the reference
-    # recipe's 8x TITAN RTX run) trains on real COCO at ~7 objects/image,
-    # so this is the apples-to-apples operating point. The dense
-    # max_gt=32 synthetic worst case is kept as step_ms_dense /
-    # train_dense_* for continuity with BENCH_r01 (whose headline was
-    # dense: 16.44 img/s/chip, 121.6 ms/step).
-    per_chip_dense = train_ips / n_dev
-    if train_ips_realistic:
-        per_chip = train_ips_realistic / n_dev
-        step_ms = rt_dt / steps * 1e3
-    else:
-        per_chip = per_chip_dense
-        step_ms = train_dt / steps * 1e3
-    print(
-        json.dumps(
-            dict(
-                metric="cpm_r50_fpn_train_throughput_per_chip",
-                value=round(per_chip, 3),
-                unit="images/sec/chip",
-                vs_baseline=round(per_chip / BASELINE_TRAIN_IPS_PER_CHIP, 3),
-                infer_images_per_sec_per_chip=round(infer_ips, 3),
-                infer_batch4_images_per_sec_per_chip=round(infer_b4_ips, 3),
-                infer_batch1_latency_ms=round(infer_lat_ms, 1),
-                step_ms=round(step_ms, 1),
-                train_dense_images_per_sec_per_chip=round(
-                    per_chip_dense, 3
-                ),
-                step_ms_dense=round(train_dt / steps * 1e3, 1),
-                mfu=round(mfu, 4) if mfu is not None else None,
-                host_loader_images_per_sec=(
-                    round(loader_ips, 2) if loader_ips else None
-                ),
-                host_pool_scaling=pool_scaling,
-                compute_dtype=str(cfg.TPU.COMPUTE_DTYPE),
+        # params as an ARGUMENT, not a closure: closed-over arrays become
+        # HLO constants — 100MB of literals per compile (and a rejected
+        # remote-compile request on tunneled PJRT backends)
+        @jax.jit
+        def forward(p, images, image_sizes):
+            return model.apply(
+                {"params": p}, images.astype(cdtype), image_sizes,
+                train=False,
             )
+
+        def run_infer(bs, iters):
+            """Depth-2 pipelined throughput + synchronous latency.
+
+            Inputs are device-resident (the eval engine's loader
+            pipelines host->device copies behind compute). Depth-2 =
+            dispatch batch i+1, then read batch i — the eval engine's
+            pattern (engine/test.py): the readout round trip overlaps
+            the next batch's execution instead of serializing after it.
+            """
+            eb = synthetic_batch(
+                batch_size=bs, height=height, width=width, max_gt=8,
+                num_classes=81, seed=1,
+            )
+            images = jax.device_put(eb["images"])
+            sizes = jax.device_put(eb["image_sizes"])
+            d = forward(eval_params, images, sizes)
+            float(d.scores.sum())  # force the warmup before timing
+            t0 = time.time()
+            for _ in range(3):
+                d = forward(eval_params, images, sizes)
+                float(d.scores.sum())
+            sync_lat = (time.time() - t0) / 3 * 1e3
+            t0 = time.time()
+            pend = None
+            total = 0.0
+            for _ in range(iters):
+                cur = forward(eval_params, images, sizes)
+                if pend is not None:
+                    total += float(pend.scores.sum())
+                pend = cur
+            total += float(pend.scores.sum())
+            dt = time.time() - t0
+            assert np.isfinite(total)
+            return bs * iters / dt, sync_lat
+
+        # batch 1 = latency operating point; batch 4 = throughput
+        # operating point (TEST.IMS_PER_GPU batching in the eval engine)
+        infer_ips, infer_lat_ms = run_infer(1, 12)
+        result.update(
+            infer_images_per_sec_per_chip=round(infer_ips / n_dev, 3),
+            infer_batch1_latency_ms=round(infer_lat_ms, 1),
         )
-    )
+        if _have_budget(45):
+            infer_b4_ips, _ = run_infer(4, 6)
+            result["infer_batch4_images_per_sec_per_chip"] = round(
+                infer_b4_ips / n_dev, 3
+            )
+        print(f"# inference done [t+{_elapsed():.0f}s]", flush=True)
+    except Exception as e:
+        print(f"# inference point unavailable: {e}", flush=True)
+
+    # ---- host data path (loader; pool scaling only if opted in) ----
+    if _have_budget(45):
+        try:
+            loader_ips = measure_loader_throughput(cfg)
+            if loader_ips:
+                result["host_loader_images_per_sec"] = round(loader_ips, 2)
+        except Exception as e:
+            print(f"# loader point unavailable: {e}", flush=True)
+    if os.environ.get("CPM_BENCH_POOL") == "1" and _have_budget(90):
+        result["host_pool_scaling"] = measure_pool_scaling()
+
+    emit()
 
 
 if __name__ == "__main__":

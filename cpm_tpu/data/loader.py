@@ -99,6 +99,28 @@ class TrainLoader:
         }
         self.aspect = dataset.aspect_ratios()
         self.prefetch = prefetch
+        # DATALOADER.SAMPLER_TRAIN selection (reference wires it at
+        # rcnn/datasets/dataset.py:51-52): RepeatFactorTrainingSampler
+        # repeats rare-category images per epoch; default is
+        # DistributedSampler semantics. Repeat factors are fixed for the
+        # whole run, computed once here (repeat_factor.py:62-65).
+        self.sampler_train = str(
+            getattr(cfg.DATALOADER, "SAMPLER_TRAIN", "DistributedSampler")
+        )
+        self._repeat_factors = None
+        if self.sampler_train == "RepeatFactorTrainingSampler":
+            from cpm_tpu.data.samplers import (
+                repeat_factors_from_category_frequency,
+            )
+
+            rft = cfg.DATALOADER.RFTSAMPLER
+            self._repeat_factors = repeat_factors_from_category_frequency(
+                dataset,
+                repeat_thresh=float(rft.REPEAT_THRESHOLD),
+                pow_=float(rft.POW),
+                max_repeat=float(rft.MAX_REPEAT_TIMES),
+                min_repeat=float(rft.MIN_REPEAT_TIMES),
+            )
         # native pthread decode pool: N workers decode/resize/normalize a
         # whole batch concurrently (the reference's DataLoader worker
         # processes, SURVEY §2.6); falls back to per-image PIL on error
@@ -112,7 +134,23 @@ class TrainLoader:
                 self.pool = None
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
-        """DistributedSampler semantics: seeded shuffle, pad, rank slice."""
+        """One epoch of per-rank dataset indices.
+
+        DistributedSampler semantics (seeded shuffle, pad, strided rank
+        slice) by default; RepeatFactorTrainingSampler (stochastic-ceil
+        repetition + shuffle + contiguous rank slice, matching
+        repeat_factor.py:131-155) when DATALOADER.SAMPLER_TRAIN selects
+        it."""
+        if self._repeat_factors is not None:
+            from cpm_tpu.data.samplers import repeat_factor_indices
+
+            idx = repeat_factor_indices(
+                self._repeat_factors, self.seed + epoch
+            )
+            # reference subsamples contiguous per-rank slices of the
+            # (already shuffled) repeated index list
+            per_rank = len(idx) // self.world_size
+            return idx[self.rank * per_rank : (self.rank + 1) * per_rank]
         g = np.random.RandomState(self.seed + epoch)
         idx = g.permutation(len(self.dataset))
         total = (
@@ -121,18 +159,30 @@ class TrainLoader:
         idx = np.concatenate([idx, idx[: total - len(idx)]])
         return idx[self.rank :: self.world_size]
 
-    def _group_batches(self, indices: np.ndarray, epoch: int):
-        """Aspect-ratio-grouped batches (GroupedBatchSampler)."""
-        groups = {0: [], 1: []}
+    def _group_batches(self, indices: np.ndarray, epoch: int, carry=None):
+        """Aspect-ratio-grouped batches (GroupedBatchSampler).
+
+        The reference's GroupedBatchSampler(drop_uneven=False)
+        (grouped_batch_sampler.py:93) keeps each group's tail as a
+        short final batch. Fixed-shape TPU batches can't shrink, so the
+        tail indices are instead carried into the same group's pool at
+        the next epoch: no image is ever dropped, every batch stays
+        full-size. Returns (batches, carry_out) where carry_out maps
+        group -> leftover indices."""
+        groups = {0: list((carry or {}).get(0, ())),
+                  1: list((carry or {}).get(1, ()))}
         for i in indices:
             groups[int(self.aspect[i] >= 1)].append(i)
         batches = []
-        for g in groups.values():
-            for s in range(0, len(g) - self.batch_size + 1, self.batch_size):
+        carry_out = {0: [], 1: []}
+        for k, g in groups.items():
+            n_full = len(g) // self.batch_size
+            for s in range(0, n_full * self.batch_size, self.batch_size):
                 batches.append(g[s : s + self.batch_size])
+            carry_out[k] = g[n_full * self.batch_size :]
         rng = np.random.RandomState(self.seed * 7919 + epoch)
         rng.shuffle(batches)
-        return batches
+        return batches, carry_out
 
     def _load_one(self, i: int, rng: np.random.RandomState):
         """(normalized float image [nh, nw, 3], boxes, (nh, nw)) — native
@@ -282,12 +332,28 @@ class TrainLoader:
         )
 
     def _raw_iter(self) -> Iterator[dict]:
-        it = self.start_iter
+        """Yields batches from iteration `start_iter` onward.
+
+        Resume parity with the reference (IterationBasedBatchSampler
+        restarted at scheduler.iteration, tools/rcnn/train_net.py:127):
+        the epoch/batch position is fast-forwarded by replaying the
+        cheap index math — never decoding an image — so a resumed run
+        sees the identical batch stream an uninterrupted run would."""
+        it = 0
         epoch = 0
+        carry = None
         while True:
             indices = self._epoch_indices(epoch)
-            batches = self._group_batches(indices, epoch)
-            for batch_indices in batches:
+            batches, carry = self._group_batches(indices, epoch, carry)
+            if not batches and not any(carry.values()):
+                raise RuntimeError("TrainLoader: empty epoch (no images)")
+            if it + len(batches) <= self.start_iter:
+                it += len(batches)  # skip a fully-consumed epoch
+                epoch += 1
+                continue
+            skip = max(0, self.start_iter - it)
+            it += skip
+            for batch_indices in batches[skip:]:
                 rng = np.random.RandomState(
                     (self.seed * 1_000_003 + it * 97 + self.rank) % (2**31)
                 )

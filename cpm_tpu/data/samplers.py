@@ -16,10 +16,15 @@ import numpy as np
 
 
 def repeat_factors_from_category_frequency(
-    dataset, repeat_thresh: float = 0.001
+    dataset,
+    repeat_thresh: float = 0.001,
+    pow_: float = 0.5,
+    max_repeat: float = 10000.0,
+    min_repeat: float = 1.0,
 ) -> np.ndarray:
-    """Per-image repeat factor r(I) = max over categories in I of
-    max(1, sqrt(t / f(c))) (repeat_factor.py:34-76)."""
+    """Per-image repeat factor r(I) = max over categories in I of the
+    category-level factor max(MIN, min(MAX, (t / f(c)) ** POW))
+    (repeat_factor.py:78-99; POW=0.5 is the LVIS-paper sqrt rule)."""
     cat_count = defaultdict(int)
     img_cats: List[set] = []
     for i in range(len(dataset)):
@@ -31,7 +36,7 @@ def repeat_factors_from_category_frequency(
     n = len(dataset)
     cat_freq = {c: cnt / n for c, cnt in cat_count.items()}
     cat_rep = {
-        c: max(1.0, math.sqrt(repeat_thresh / f))
+        c: max(min_repeat, min(max_repeat, math.pow(repeat_thresh / f, pow_)))
         for c, f in cat_freq.items()
     }
     rep = np.ones(n, np.float64)

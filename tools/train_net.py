@@ -113,6 +113,11 @@ def main():
     restored = checkpointer.load(state) if checkpointer.resumed else None
     if restored is not None:
         state = restored
+        # fast-forward the data stream to the checkpointed iteration so
+        # the resumed run consumes the identical batch sequence an
+        # uninterrupted run would (reference: IterationBasedBatchSampler
+        # restarted at scheduler.iteration, tools/rcnn/train_net.py:127)
+        loader.start_iter = int(state.step)
         print(f"auto-resumed from iter {int(state.step)}")
 
     mesh = make_mesh()
