@@ -21,11 +21,15 @@ draw), but standardization is idempotent to ~1e-5, so the effective
 initial forward function matches the reference to float tolerance, and
 imported/loaded weights behave identically since the transform applies on
 read regardless of provenance.
-Leaves not named "kernel" (e.g. deform-conv main weights, self.param
-"weight") are skipped — matching the reference, whose isinstance(_ConvNd)
-check converts the offset-predicting nn.Conv2d inside DeformConvPack but
-not the DeformConv module's own weight. Dense kernels are 2-D and are
-skipped too (the reference converts convs only).
+Leaves not named "kernel" are skipped. DeformConvPack /
+ModulatedDeformConvPack register their main deform weight as
+self.param("weight", ...) (ops/deform_conv.py) precisely so this rule
+matches the reference, whose isinstance(_ConvNd) check converts the
+offset-predicting nn.Conv2d inside DeformConvPack but never the
+DeformConv module's own weight (it subclasses plain nn.Module,
+deform_conv.py:472-511). Dense kernels are 2-D and are skipped too (the
+reference converts convs only). Pinned by
+tests/test_ws.py::test_ws_skips_deform_main_weight.
 """
 
 import jax

@@ -136,8 +136,14 @@ class DeformConvPack(nn.Module):
             name="conv_offset",
         )(x)
         cin = x.shape[-1]
+        # named "weight" (not flax's conventional "kernel"), mirroring the
+        # reference where DeformConv registers self.weight on a plain
+        # nn.Module (deform_conv.py:472-511) — NOT an nn.Conv2d, so the
+        # reference's convert_conv2convws_model (isinstance _ConvNd)
+        # never weight-standardizes it. Our USE_WS transform skips
+        # non-"kernel" leaves for the same effect (modeling/ws.py).
         weight = self.param(
-            "kernel",
+            "weight",
             nn.initializers.he_normal(),
             (k, k, cin, self.features),
         )
@@ -176,8 +182,11 @@ class ModulatedDeformConvPack(nn.Module):
         offset, mask = om[..., : 2 * k * k], om[..., 2 * k * k :]
         mask = jax.nn.sigmoid(mask)
         cin = x.shape[-1]
+        # "weight", not "kernel": see DeformConvPack — keeps the deform
+        # main weight out of the USE_WS name-based standardization rule,
+        # matching the reference's isinstance(_ConvNd) conversion scope
         weight = self.param(
-            "kernel",
+            "weight",
             nn.initializers.he_normal(),
             (k, k, cin, self.features),
         )

@@ -379,6 +379,12 @@ def lovasz_softmax(
     intersection/union — and hence the Lovász gradient — advance
     identically over the valid prefix. vmap over classes replaces the
     reference's Python loop.
+
+    Intentional deviation: with only_present=True and an image whose
+    valid pixels contain no present class (cnt == 0, reachable only via
+    out-of-range labels), this returns 0.0 where the reference's
+    lovasz_softmax_flat divides by cnt = 0 and propagates nan
+    (lib/ops/lovasz_softmax_loss.py mean over an empty per-class list).
     """
     C = logits.shape[-1]
     probs = jax.nn.softmax(logits, axis=-1)

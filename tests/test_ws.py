@@ -191,3 +191,71 @@ def test_ws_model_builds_and_runs():
     out = model.apply(variables, images, sizes, train=False)
     for leaf in jax.tree_util.tree_leaves(out):
         assert np.all(np.isfinite(np.asarray(leaf, dtype=np.float32)))
+
+
+def test_ws_skips_deform_main_weight():
+    """USE_WS must standardize the offset-predicting conv inside
+    DeformConvPack but never the deform main weight — the reference's
+    convert_conv2convws_model converts isinstance(_ConvNd) modules only,
+    and DeformConv subclasses plain nn.Module (deform_conv.py:472-511),
+    so only its child conv_offset is rewritten. Oracle: run the actual
+    reference conversion and compare scopes."""
+    torch = _torch()
+    import importlib
+
+    ref_dc = importlib.import_module("pet.lib.ops.deform_conv")
+    utils = importlib.import_module("pet.models.imagenet.utils")
+    from pet.lib.ops.conv2d_ws import Conv2dWS
+
+    torch.manual_seed(0)
+    ref = ref_dc.DeformConvPack(8, 8, 3, padding=1)
+    before = ref.weight.data.clone()
+    conv = utils.convert_conv2convws_model(ref)
+    # reference scope: the pack itself survives untouched, only the
+    # child nn.Conv2d became Conv2dWS
+    assert type(conv) is ref_dc.DeformConvPack
+    assert isinstance(conv.conv_offset, Conv2dWS)
+    assert torch.equal(conv.weight.data, before)
+
+    # our side: the lifted transform applies the same scope rule
+    from flax import linen as nn
+
+    from cpm_tpu.modeling.ws import (
+        _standardize_tree,
+        maybe_ws,
+        ws_standardize_kernel,
+    )
+    from cpm_tpu.ops.deform_conv import DeformConvPack
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return DeformConvPack(8, 3, name="dconv")(x)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 6, 6, 8), jnp.float32)
+    params = Tiny().init(jax.random.PRNGKey(0), x)["params"]
+    seen = _standardize_tree({"params": params})["params"]
+    # deform main weight untouched, offset conv kernel standardized
+    np.testing.assert_array_equal(
+        np.asarray(seen["dconv"]["weight"]),
+        np.asarray(params["dconv"]["weight"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(seen["dconv"]["conv_offset"]["kernel"]),
+        np.asarray(
+            ws_standardize_kernel(params["dconv"]["conv_offset"]["kernel"])
+        ),
+        rtol=1e-6, atol=1e-7,
+    )
+    # functional: lifted module == plain module fed the selectively
+    # standardized params (offset kernel only)
+    lifted = maybe_ws(Tiny, True)()
+    manual = jax.tree_util.tree_map(lambda a: a, params)  # copy
+    manual["dconv"]["conv_offset"]["kernel"] = ws_standardize_kernel(
+        params["dconv"]["conv_offset"]["kernel"]
+    )
+    got = lifted.apply({"params": params}, x)
+    want = Tiny().apply({"params": manual}, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
