@@ -174,6 +174,19 @@ def soft_nms(
     return idx, out_scores, valid
 
 
+def _temp_scores(pool_scores: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """TEMP_AVG's per-neighbor score transform (box_voting.cu:105-112):
+    s -> 1 / (1 + (1/s - 1)^(1/beta)), i.e. sigmoid(logit(s) / beta) —
+    temperature-scaled in logit space — with s == 0 passed through
+    unchanged (the kernel's explicit weight != 0 guard). The voted score
+    is then the plain mean of these transformed neighbor scores
+    (box_voting.cu:192-194)."""
+    s = jnp.clip(pool_scores, 0.0, 1.0)  # powf of a negative base is nan
+    base = jnp.where(s > 0.0, 1.0 / jnp.where(s > 0.0, s, 1.0) - 1.0, 0.0)
+    t = 1.0 / (1.0 + base ** (1.0 / beta))
+    return jnp.where(s > 0.0, t, pool_scores)
+
+
 def box_voting(
     top_boxes: jnp.ndarray,
     top_scores: jnp.ndarray,
@@ -205,9 +218,10 @@ def box_voting(
     if scoring_method == "ID":
         scores = top_scores
     elif scoring_method == "TEMP_AVG":
-        # average of sigmoid-calibrated logits: not used by CPM cfgs; fall
-        # back to plain mean like AVG
-        scores = jnp.sum(jnp.where(w, pool_scores[None, :], 0.0), axis=1) / nvote
+        scores = (
+            jnp.sum(jnp.where(w, _temp_scores(pool_scores, beta)[None, :],
+                              0.0), axis=1) / nvote
+        )
     elif scoring_method == "AVG":
         scores = jnp.sum(jnp.where(w, pool_scores[None, :], 0.0), axis=1) / nvote
     elif scoring_method == "IOU_AVG":
@@ -336,7 +350,12 @@ def _box_ml_voting_impl(
     nvote = jnp.maximum(jnp.sum(w, axis=1), 1)
     if scoring_method == "ID":
         scores = top_scores
-    elif scoring_method in ("AVG", "TEMP_AVG"):
+    elif scoring_method == "TEMP_AVG":
+        scores = (
+            jnp.sum(jnp.where(w, _temp_scores(pool_scores, beta)[None, :],
+                              0.0), axis=1) / nvote
+        )
+    elif scoring_method == "AVG":
         scores = jnp.sum(jnp.where(w, pool_scores[None, :], 0.0), axis=1) / nvote
     elif scoring_method == "IOU_AVG":
         wi = jnp.where(w, iou, 0.0)
