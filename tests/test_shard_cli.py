@@ -1,0 +1,81 @@
+"""Integration test of the REAL eval CLI's shard orchestration.
+
+VERDICT r2 item 7: `tools/test_net.py --shards N` (the reference's
+subprocess-per-GPU eval sharding, pet/utils/subprocess.py:12-95 +
+test_engine.py:60-100) was only covered indirectly through the library
+(`shard_ranges`, run_inference_on_dataset). This test spawns the actual
+CLI on the synthetic debug set with --shards 2 and asserts the merged
+child detections equal a single-process --range run image for image.
+
+Determinism without a checkpoint: every process builds params with
+create_train_state(cfg, PRNGKey(0), ...) (tools/test_net.py:107), so
+random-init evaluation is identical across processes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "cfgs", "debug", "tiny_fast_rcnn.yaml")
+
+
+def _run_cli(args, ckpt_dir, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # children don't need 8 virtual devices
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cpm_shard_cli_cache")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test_net.py"),
+         "--cfg", CFG] + args + ["CKPT", ckpt_dir],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"CLI failed rc={proc.returncode}\nstdout:\n{proc.stdout[-3000:]}"
+        f"\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc
+
+
+def _canon(results):
+    """Order-independent canonical form of COCO result dicts."""
+    return sorted(
+        (r["image_id"], r["category_id"],
+         tuple(round(float(v), 3) for v in r["bbox"]),
+         round(float(r["score"]), 5))
+        for r in results
+    )
+
+
+def test_shards_cli_merged_equals_single_process(tmp_path):
+    n_images = 16  # data/synthetic_debug
+
+    single_dir = str(tmp_path / "single")
+    _run_cli(["--range", "0", str(n_images)], single_dir)
+    with open(os.path.join(
+        single_dir, "test", f"detection_range_0_{n_images}.json"
+    )) as f:
+        single = json.load(f)
+    assert single, "single-process run produced no detections"
+
+    shard_dir = str(tmp_path / "sharded")
+    parent = _run_cli(["--shards", "2"], shard_dir)
+    # parent printed the merged eval stats as JSON
+    assert '"AP"' in parent.stdout or "AP" in parent.stdout
+
+    out = os.path.join(shard_dir, "test")
+    shard_files = sorted(
+        f for f in os.listdir(out) if f.startswith("detection_range_")
+    )
+    assert len(shard_files) == 2, shard_files
+    merged = []
+    for f in shard_files:
+        with open(os.path.join(out, f)) as fh:
+            merged.extend(json.load(fh))
+
+    assert _canon(merged) == _canon(single)
+    # the parent evaluated the merged set: bbox.json written
+    assert os.path.exists(os.path.join(out, "bbox.json"))
