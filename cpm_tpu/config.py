@@ -655,7 +655,8 @@ def assert_and_infer_cfg(target=None, make_immutable=True):
     _check(t.TEST.BBOX_VOTE.SCORING_METHOD in
            ("ID", "AVG", "IOU_AVG", "GENERALIZED_AVG", "QUASI_SUM"),
            f"TEST.BBOX_VOTE.SCORING_METHOD invalid: {t.TEST.BBOX_VOTE.SCORING_METHOD}")
-    _check(t.TPU.POOLER_KERNEL in ("auto", "pallas", "stacked", "gather"),
+    _check(t.TPU.POOLER_KERNEL in ("auto", "pallas", "stacked",
+                                   "clustered", "gather"),
            f"TPU.POOLER_KERNEL invalid: {t.TPU.POOLER_KERNEL}")
     _check(len(t.TRAIN.SCALES) > 0 and all(s > 0 for s in t.TRAIN.SCALES),
            "TRAIN.SCALES must be non-empty positive")

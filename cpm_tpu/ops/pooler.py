@@ -48,7 +48,8 @@ OVERFLOW_CAP_WIDE = 64
 
 def set_pooler_backend(name: str):
     global _BACKEND
-    assert name in ("auto", "pallas", "stacked", "gather"), name
+    assert name in ("auto", "pallas", "stacked", "clustered",
+                    "gather"), name
     _BACKEND = name
 
 
@@ -164,7 +165,7 @@ class Pooler:
             )
             backend = _resolve_backend()
             use_pallas = False
-            if backend in ("pallas", "stacked"):
+            if backend in ("pallas", "stacked", "clustered"):
                 from cpm_tpu.ops.pallas.multilevel_pallas import (
                     multilevel_roi_align_pallas,
                     pallas_supported,
@@ -173,6 +174,11 @@ class Pooler:
                 if backend == "stacked":
                     from cpm_tpu.ops.pallas.stacked_pallas import (
                         multilevel_roi_align_stacked as
+                        multilevel_roi_align_pallas,
+                    )
+                elif backend == "clustered":
+                    from cpm_tpu.ops.pallas.clustered_pallas import (
+                        multilevel_roi_align_clustered as
                         multilevel_roi_align_pallas,
                     )
 

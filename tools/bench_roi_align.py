@@ -117,17 +117,37 @@ def main():
         tuple(fs), (rois, levels, valid), pool, scales, 2, False, False
     )
 
+    from cpm_tpu.ops.pallas.clustered_pallas import (
+        multilevel_roi_align_clustered,
+    )
+
+    clustered_fn = lambda fs: multilevel_roi_align_clustered(  # noqa: E731
+        tuple(fs), (rois, levels, valid), pool, scales, 2, False, False
+    )
+
     g_f = bench("xla gather fwd", gather_fn)
     p_f = bench("pallas windowed fwd", pallas_fn)
     s_f = bench("pallas stacked fwd", stacked_fn)
+    c_f = bench("pallas clustered fwd", clustered_fn)
     g_b = bench("xla gather fwd+bwd", gather_fn, grad=True)
     p_b = bench("pallas windowed fwd+bwd", pallas_fn, grad=True)
     s_b = bench("pallas stacked fwd+bwd", stacked_fn, grad=True)
+    c_b = bench("pallas clustered fwd+bwd", clustered_fn, grad=True)
     print(f"speedup: fwd {g_f / p_f:.2f}x   fwd+bwd {g_b / p_b:.2f}x")
     print(
         f"stacked vs windowed: fwd {p_f / s_f:.2f}x   "
         f"fwd+bwd {p_b / s_b:.2f}x"
     )
+    print(
+        f"clustered vs windowed: fwd {p_f / c_f:.2f}x   "
+        f"fwd+bwd {p_b / c_b:.2f}x"
+    )
+    err_pc = np.max(np.abs(np.asarray(
+        multilevel_roi_align_pallas(
+            feats, (rois, levels, valid), pool, scales, 2, False, False
+        ), np.float32,
+    ) - np.asarray(clustered_fn(feats), np.float32)))
+    print(f"max |windowed - clustered| on device: {err_pc:.2e}")
     err_ps = np.max(np.abs(np.asarray(
         multilevel_roi_align_pallas(
             feats, (rois, levels, valid), pool, scales, 2, False, False
