@@ -44,9 +44,30 @@ def enable_persistent_cache(cache_dir: str = None):
 
         import jax as _jax
 
+        # CPU-platform processes additionally key by boot id: XLA:CPU AOT
+        # results embed LLVM tuning attributes detected from raw CPUID
+        # (+prefer-no-scatter/-gather) that can change across a VM
+        # migration while every kernel-reported identity above stays
+        # fixed — observed loading stale entries with "machine type ...
+        # doesn't match" warnings (SIGILL/drift risk). CPU compiles are
+        # cheap; only the TPU entries need to survive VM resets.
+        boot = ""
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        try:
+            import jax as _j
+
+            platforms = platforms or (_j.config.jax_platforms or "")
+        except Exception:
+            pass
+        if "cpu" in platforms:
+            try:
+                with open("/proc/sys/kernel/random/boot_id") as f:
+                    boot = "|" + f.read().strip()
+            except OSError:
+                pass
         fhash = hashlib.sha1(
-            ("|".join(sorted(set(feat_lines))) + f"|jax{_jax.__version__}")
-            .encode()
+            ("|".join(sorted(set(feat_lines))) + f"|jax{_jax.__version__}"
+             + boot).encode()
         ).hexdigest()[:10]
         tag = f"{platform.node()}-{platform.machine()}-{fhash}"
         cache_dir = os.environ.get(
