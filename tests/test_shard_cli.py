@@ -27,7 +27,13 @@ def _run_cli(args, ckpt_dir, timeout=600):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # children don't need 8 virtual devices
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cpm_shard_cli_cache")
+    # shared across THIS test's processes only: a dir that outlives a VM
+    # migration can serve CPU AOT entries with stale CPUID tuning attrs,
+    # whose different vectorization perturbs f32 reductions
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(ckpt_dir), "jaxcache"),
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "test_net.py"),
          "--cfg", CFG] + args + ["CKPT", ckpt_dir],

@@ -23,6 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gt", type=int, default=None,
                     help="cap valid gt per image (realistic density ~6)")
+    ap.add_argument("--batch", type=int, default=2,
+                    help="images per chip (default 2 = reference recipe)")
+    ap.add_argument("--cfg", default=None,
+                    help="start from this YAML (e.g. an R-101 / X-101-DCN "
+                    "backbone cfg) instead of the flagship R-50 config")
     ap.add_argument("opts", nargs="*", help="cfg KEY VALUE overrides")
     args = ap.parse_args()
 
@@ -42,15 +47,26 @@ def main():
     )
     from cpm_tpu.parallel.mesh import make_mesh, shard_batch
 
-    cfg = _flagship_cfg(tiny=False)
+    if args.cfg:
+        from cpm_tpu.config import get_default_cfg, merge_cfg_from_file
+
+        cfg = get_default_cfg()
+        merge_cfg_from_file(args.cfg, cfg)
+        print(f"# cfg: {args.cfg}")
+    else:
+        cfg = _flagship_cfg(tiny=False)
     cfg.RPN.PRE_NMS_TOP_N_TRAIN = 2000
     if args.opts:
         merge_cfg_from_list(args.opts, cfg)
         print(f"# overrides: {args.opts}")
+    if args.cfg:
+        from cpm_tpu.config import assert_and_infer_cfg
+
+        assert_and_infer_cfg(cfg, make_immutable=False)
 
     n_dev = jax.local_device_count()
     batch = synthetic_batch(
-        batch_size=2 * n_dev, height=832, width=1344,
+        batch_size=args.batch * n_dev, height=832, width=1344,
         max_gt=32, num_classes=81, seed=0,
     )
     if args.gt is not None:
@@ -76,7 +92,8 @@ def main():
             times.append((time.time() - t0) / steps * 1e3)
             assert np.isfinite(final), final
         print(f"ms/step over 3 runs: {[f'{t:.1f}' for t in times]} "
-              f"min {min(times):.1f}")
+              f"min {min(times):.1f} "
+              f"({args.batch / (min(times) / 1e3):.2f} img/s/chip)")
 
 
 if __name__ == "__main__":

@@ -71,7 +71,18 @@ def run_sharded(args, cfg, dataset):
 
 def main():
     args = parse_args()
+    from cpm_tpu.utils.platform_env import (
+        honor_jax_platforms_env,
+        pin_default_device_for_shard,
+    )
+
+    honor_jax_platforms_env()
     import jax
+
+    shard_idx = os.environ.get("CPM_SHARD_INDEX")
+    if shard_idx is not None:
+        dev = pin_default_device_for_shard(int(shard_idx))
+        print(f"shard {shard_idx}: pinned to {dev}")
 
     from cpm_tpu.config import (
         assert_and_infer_cfg,
@@ -107,18 +118,32 @@ def main():
     model, tx, state = create_train_state(
         cfg, jax.random.PRNGKey(0), sample
     )
-    checkpointer = CheckPointer(cfg.CKPT, auto_resume=True)
-    restored = checkpointer.load(state)
-    if restored is not None:
-        state = restored
-        print(f"loaded checkpoint at iter {int(state.step)}")
+    params = None
+    # Reference precedence (pet/utils/checkpointer.py:13-18 get_weights):
+    # an existing TEST.WEIGHTS file wins; otherwise fall back to the
+    # CKPT dir's latest. A torch .pth/.pt TEST.WEIGHTS (e.g. a reference
+    # model-zoo CPM checkpoint) is imported directly.
+    tw = cfg.TEST.WEIGHTS
+    if tw and os.path.isfile(tw) and tw.endswith((".pth", ".pt", ".pkl")):
+        from cpm_tpu.utils.weight_import import import_cpm_checkpoint
+
+        params = import_cpm_checkpoint(tw, cfg)
+        print(f"loaded torch weights from TEST.WEIGHTS: {tw}")
     else:
-        print("WARNING: no checkpoint found; evaluating random init")
+        checkpointer = CheckPointer(cfg.CKPT, auto_resume=True)
+        restored = checkpointer.load(state)
+        if restored is not None:
+            state = restored
+            print(f"loaded checkpoint at iter {int(state.step)}")
+        else:
+            print("WARNING: no checkpoint found; evaluating random init")
+    if params is None:
+        params = state.params
 
     start, end = (args.range if args.range else (0, len(dataset)))
     t0 = time.time()
     results = run_inference_on_dataset(
-        cfg, model, state.params, dataset, start=start, end=end
+        cfg, model, params, dataset, start=start, end=end
     )
     n = end - start
     dt = time.time() - t0

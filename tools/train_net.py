@@ -31,6 +31,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from cpm_tpu.utils.platform_env import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     if args.multihost:
         import jax
 
