@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _bilinear_gather(feat, ys, xs):
+def _bilinear_gather_corner4(feat, ys, xs):
     """Sample feat [B, H, W, C] at float coords ys/xs [B, P] -> [B, P, C].
 
     Out-of-range samples contribute zero, matching the CUDA
@@ -48,7 +48,7 @@ def _bilinear_gather(feat, ys, xs):
         flat = feat.reshape(B, H * W, C)
         idx = yc * W + xc  # [B, P]
         vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return vals * (w * inb)[..., None]
+        return vals * (w * inb.astype(w.dtype))[..., None].astype(feat.dtype)
 
     out = (
         corner(y0, x0, wy0 * wx0)
@@ -57,6 +57,114 @@ def _bilinear_gather(feat, ys, xs):
         + corner(y0 + 1, x0 + 1, wy1 * wx1)
     )
     return out
+
+
+def _window_parts(feat, ys, xs):
+    """Shared window/weight construction for the 2x2-window sampler.
+
+    Returns (win [B,P,2,2,C], wy [B,P,2], wx [B,P,2], sy, sx, valid
+    row/col masks). Window start is clamped to [0, H-2]x[0, W-2]; each
+    window cell (i, j) at image row/col (sy+i, sx+j) gets the tent
+    weight relu(1-|ys-(sy+i)|) * relu(1-|xs-(sx+j)|), zeroed out of
+    bounds — for interior samples the cells ARE the 4 bilinear corners,
+    and samples fully outside contribute zero, matching
+    `dmcn_im2col_bilinear` (deform_conv_cuda_kernel.cu:25-60).
+    """
+    B, H, W, C = feat.shape
+    sy = jnp.clip(jnp.floor(ys), 0, max(H - 2, 0)).astype(jnp.int32)
+    sx = jnp.clip(jnp.floor(xs), 0, max(W - 2, 0)).astype(jnp.int32)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    starts = jnp.stack([sy, sx], axis=-1)  # [B, P, 2]
+    win = jax.lax.gather(
+        feat, starts, dnums,
+        slice_sizes=(1, 2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [B, P, 2, 2, C]
+
+    ii = jnp.arange(2, dtype=jnp.float32)
+    ry = sy[..., None].astype(jnp.float32) + ii  # [B, P, 2] image rows
+    rx = sx[..., None].astype(jnp.float32) + ii
+    vy = ry <= H - 1  # ry >= 0 by construction
+    vx = rx <= W - 1
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[..., None] - ry)) * vy
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[..., None] - rx)) * vx
+    return win, wy, wx, sy, sx, ry, rx, vy, vx
+
+
+@jax.custom_vjp
+def _bilinear_gather(feat, ys, xs):
+    """Sample feat [B, H, W, C] at f32 coords ys/xs [B, P] -> [B, P, C].
+
+    ONE batched `lax.gather` of 2x2xC windows instead of 4 independent
+    corner gathers: XLA:TPU gather cost is index-bound, so collapsing
+    the 4 corners into one windowed read is ~1.5x cheaper end-to-end.
+    The backward is hand-written (see `_bilinear_gather_bwd`): XLA's
+    autodiff of a windowed gather emits a windowed scatter that is
+    ~50x slower than the flat-index scatter floor measured by
+    tools/probe_dcn_scatter.py.
+    """
+    ys = ys.astype(jnp.float32)
+    xs = xs.astype(jnp.float32)
+    win, wy, wx, *_ = _window_parts(feat, ys, xs)
+    w = (wy[..., :, None] * wx[..., None, :]).astype(feat.dtype)
+    return jnp.einsum("bpijc,bpij->bpc", win, w)
+
+
+def _bilinear_gather_fwd(feat, ys, xs):
+    return _bilinear_gather(feat, ys, xs), (feat, ys, xs)
+
+
+def _bilinear_gather_bwd(res, g):
+    """Backward: regather the window (cheap, index-bound), coordinate
+    grads from the tent derivative, and ONE flat-index scatter-add of
+    each sample's weighted 2x2xC block into a [B, (H-1)*(W-1), 4C]
+    accumulator laid out by window start — folded back onto the feature
+    grid with 4 shifted adds. This keeps the scatter at P indices
+    (the measured XLA floor) instead of 4P row scatters or the
+    pathological windowed scatter."""
+    feat, ys, xs = res
+    B, H, W, C = feat.shape
+    P = ys.shape[1]
+    win, wy, wx, sy, sx, ry, rx, vy, vx = _window_parts(feat, ys, xs)
+
+    # coordinate grads: t_ij = <win_ij, g>_C
+    t = jnp.einsum(
+        "bpijc,bpc->bpij",
+        win.astype(jnp.float32),
+        g.astype(jnp.float32),
+    )
+    # d wy_i / d ys = -sign(ys - ry_i) on the open tent support
+    dy = ys[..., None] - ry
+    dwy = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0) * vy
+    dx = xs[..., None] - rx
+    dwx = jnp.where(jnp.abs(dx) < 1.0, -jnp.sign(dx), 0.0) * vx
+    gys = jnp.einsum("bpij,bpi,bpj->bp", t, dwy, wx)
+    gxs = jnp.einsum("bpij,bpi,bpj->bp", t, wy, dwx)
+
+    # feat grad: weighted blocks, one scatter by window start
+    w = (wy[..., :, None] * wx[..., None, :]).astype(g.dtype)
+    blocks = (g[..., None, None, :] * w[..., None]).reshape(B, P, 4 * C)
+    Hs, Ws = max(H - 1, 1), max(W - 1, 1)
+    flat = sy * Ws + sx  # starts are in [0, H-2] x [0, W-2]
+    acc = jnp.zeros((B, Hs * Ws, 4 * C), g.dtype)
+    acc = acc.at[jnp.arange(B)[:, None], flat].add(blocks)
+    acc = acc.reshape(B, Hs, Ws, 2, 2, C)
+    # fold: feat_grad[y, x] += acc[y - i, x - j, i, j]
+    gf = jnp.zeros((B, H, W, C), g.dtype)
+    for i in (0, 1):
+        for j in (0, 1):
+            gf = gf.at[:, i : i + Hs, j : j + Ws].add(acc[:, :, :, i, j])
+    return gf.astype(feat.dtype), gys, gxs
+
+
+_bilinear_gather.defvjp(_bilinear_gather_fwd, _bilinear_gather_bwd)
 
 
 def deform_conv2d(
@@ -86,21 +194,31 @@ def deform_conv2d(
     Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
 
     # Base sampling grid: output position * stride - pad + tap * dilation.
-    oy = jnp.arange(Ho, dtype=x.dtype) * stride - padding
-    ox = jnp.arange(Wo, dtype=x.dtype) * stride - padding
-    ky = jnp.arange(kh, dtype=x.dtype) * dilation
-    kx = jnp.arange(kw, dtype=x.dtype) * dilation
+    # Coordinate math stays f32 regardless of the compute dtype: bf16
+    # has ~8 mantissa bits, so positions past ~128 px would quantize to
+    # whole-pixel steps and destroy the sub-pixel offsets DCN learns.
+    oy = jnp.arange(Ho, dtype=jnp.float32) * stride - padding
+    ox = jnp.arange(Wo, dtype=jnp.float32) * stride - padding
+    ky = jnp.arange(kh, dtype=jnp.float32) * dilation
+    kx = jnp.arange(kw, dtype=jnp.float32) * dilation
     base_y = oy[:, None, None, None] + ky[None, None, :, None]  # [Ho,1,kh,1]
     base_x = ox[None, :, None, None] + kx[None, None, None, :]  # [1,Wo,1,kw]
     base_y = jnp.broadcast_to(base_y, (Ho, Wo, kh, kw)).reshape(Ho, Wo, K)
     base_x = jnp.broadcast_to(base_x, (Ho, Wo, kh, kw)).reshape(Ho, Wo, K)
 
-    off = offset.reshape(B, Ho, Wo, K, 2)
+    off = offset.astype(jnp.float32).reshape(B, Ho, Wo, K, 2)
     ys = base_y[None] + off[..., 0]
     xs = base_x[None] + off[..., 1]
 
     P = Ho * Wo * K
-    sampled = _bilinear_gather(x, ys.reshape(B, P), xs.reshape(B, P))
+    import os as _os
+
+    gather = (
+        _bilinear_gather_corner4
+        if _os.environ.get("CPM_TPU_DEFORM_IMPL") == "corner4"
+        else _bilinear_gather
+    )
+    sampled = gather(x, ys.reshape(B, P), xs.reshape(B, P))
     sampled = sampled.reshape(B, Ho, Wo, K, Cin)
     if mask is not None:
         sampled = sampled * mask[..., None]
