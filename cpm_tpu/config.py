@@ -653,7 +653,8 @@ def assert_and_infer_cfg(target=None, make_immutable=True):
     _check(t.TEST.SOFT_NMS.METHOD in ("linear", "gaussian", "hard"),
            f"TEST.SOFT_NMS.METHOD invalid: {t.TEST.SOFT_NMS.METHOD}")
     _check(t.TEST.BBOX_VOTE.SCORING_METHOD in
-           ("ID", "AVG", "IOU_AVG", "GENERALIZED_AVG", "QUASI_SUM"),
+           ("ID", "TEMP_AVG", "AVG", "IOU_AVG", "GENERALIZED_AVG",
+            "QUASI_SUM"),
            f"TEST.BBOX_VOTE.SCORING_METHOD invalid: {t.TEST.BBOX_VOTE.SCORING_METHOD}")
     _check(t.TPU.POOLER_KERNEL in ("auto", "pallas", "stacked",
                                    "clustered", "gather"),

@@ -148,7 +148,10 @@ class TrainLoader:
                 self._repeat_factors, self.seed + epoch
             )
             # reference subsamples contiguous per-rank slices of the
-            # (already shuffled) repeated index list
+            # (already shuffled) repeated index list, TRUNCATING the
+            # final < world_size remainder (repeat_factor.py:148-151
+            # num_samples = int(len/replicas)) — deliberately NOT the
+            # padded semantics of the DistributedSampler branch below
             per_rank = len(idx) // self.world_size
             return idx[self.rank * per_rank : (self.rank + 1) * per_rank]
         g = np.random.RandomState(self.seed + epoch)

@@ -216,6 +216,8 @@ def deform_conv2d(
     gather = (
         _bilinear_gather_corner4
         if _os.environ.get("CPM_TPU_DEFORM_IMPL") == "corner4"
+        # the windowed gather's (1,2,2,C) slice needs >= 2 rows/cols
+        or H < 2 or W < 2
         else _bilinear_gather
     )
     sampled = gather(x, ys.reshape(B, P), xs.reshape(B, P))

@@ -417,8 +417,14 @@ def _cl_fwd(features, rois_levels, output_size, spatial_scales,
         )
         inv = jnp.argsort(order)
         out = out_sorted[inv, : ph * pw].reshape(R, ph, pw, C)
-        # masked rois (and rows no group wrote) -> zeros
-        return out * valid.astype(out.dtype)[:, None, None, None]
+        # masked rois (and rows no group wrote) -> zeros. jnp.where, not
+        # multiply: unwritten rows of the pl.ANY output buffer are
+        # uninitialized HBM, and 0 * NaN/Inf garbage would stay NaN
+        # (the same hazard the kernel guards for win_scratch).
+        return jnp.where(
+            valid.astype(bool)[:, None, None, None], out,
+            jnp.zeros((), out.dtype),
+        )
 
     def run_windowed(_):
         from cpm_tpu.ops.pallas.multilevel_pallas import _fwd as _w_fwd

@@ -59,7 +59,11 @@ def enable_persistent_cache(cache_dir: str = None):
             platforms = platforms or (_j.config.jax_platforms or "")
         except Exception:
             pass
-        if "cpu" in platforms:
+        # "cpu" named explicitly, or nothing named at all (a no-TPU
+        # process falls back to CPU implicitly and needs the same
+        # migration-proofing); only a platforms string that selects a
+        # non-CPU backend keeps the stable migration-surviving key.
+        if (not platforms) or ("cpu" in platforms):
             try:
                 with open("/proc/sys/kernel/random/boot_id") as f:
                     boot = "|" + f.read().strip()

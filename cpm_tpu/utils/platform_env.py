@@ -26,13 +26,18 @@ def honor_jax_platforms_env() -> None:
 
 
 def pin_default_device_for_shard(shard_index: int) -> "object":
-    """Bind this process's default device to one local chip.
+    """Route this process's computation to ``local_devices[i % n]``.
 
-    The reference pins one GPU per eval-shard subprocess via
-    ``CUDA_VISIBLE_DEVICES`` (pet/utils/subprocess.py:30-40). The TPU
-    analogue: shard i computes on ``local_devices[i % n]`` so N
-    children spread over all chips of the host instead of all queueing
-    on device 0. Returns the chosen device.
+    This is the SOFT half of eval-shard device separation: it only
+    chooses where ops are placed, it does not partition the runtime's
+    device set. On real TPU hosts the HARD half is
+    ``TPU_VISIBLE_DEVICES=<chip>`` set in the child's environment by
+    ``tools/test_net.py run_sharded`` (the analogue of the reference's
+    per-subprocess ``CUDA_VISIBLE_DEVICES``,
+    pet/utils/subprocess.py:30-40) — libtpu is exclusive-access per
+    process, so concurrent children must not initialize the same chip.
+    On CPU / virtual-device hosts this routing alone is sufficient.
+    Returns the chosen device.
     """
     import jax
 

@@ -112,3 +112,20 @@ def test_s2d_stem_matches_plain_conv1():
     o2 = s2d.apply(vp, xo)
     for a, b in zip(o1, o2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_deform_conv_single_row_and_column_maps():
+    """The windowed 2x2 gather needs H,W >= 2; degenerate maps must
+    route through the corner fallback instead of crashing lax.gather."""
+    import numpy as np
+
+    from cpm_tpu.ops.deform_conv import deform_conv2d
+
+    rs = np.random.RandomState(0)
+    for H, W in ((1, 7), (7, 1), (1, 1)):
+        x = jnp.asarray(rs.randn(1, H, W, 8).astype(np.float32))
+        w = jnp.asarray(rs.randn(3, 3, 8, 8).astype(np.float32))
+        off = jnp.asarray(rs.randn(1, H, W, 18).astype(np.float32))
+        out = deform_conv2d(x, w, off, None, stride=1, padding=1)
+        assert out.shape == (1, H, W, 8)
+        assert bool(jnp.isfinite(out).all())

@@ -155,3 +155,19 @@ def test_assert_and_infer_rejects_incoherent():
     cfg.MODEL.FASTER_RCNN = True
     out = assert_and_infer_cfg(cfg)
     assert out.is_immutable()
+
+
+def test_all_reference_box_vote_scoring_methods_accepted():
+    """Every method of the reference's BOX_VOTING_METHODS table
+    (pet/lib/ops/boxes.py:3) must pass config validation — TEMP_AVG
+    was missing from the whitelist when its exact implementation
+    landed."""
+    from cpm_tpu.config import assert_and_infer_cfg, get_default_cfg
+
+    for m in ("ID", "TEMP_AVG", "AVG", "IOU_AVG", "GENERALIZED_AVG",
+              "QUASI_SUM"):
+        cfg = get_default_cfg()
+        cfg.MODEL.NUM_CLASSES = 81
+        cfg.MODEL.FASTER_RCNN = True
+        cfg.TEST.BBOX_VOTE.SCORING_METHOD = m
+        assert_and_infer_cfg(cfg, make_immutable=False)

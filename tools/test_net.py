@@ -33,9 +33,25 @@ def parse_args():
     return p.parse_args()
 
 
+def _local_tpu_chip_count():
+    """Local TPU chip count WITHOUT initializing the TPU runtime (the
+    parent must not grab the chips its children need). /dev/accel* is
+    how libtpu enumerates local chips; 0 on non-TPU hosts."""
+    import glob
+
+    return len(glob.glob("/dev/accel*"))
+
+
 def run_sharded(args, cfg, dataset):
     """Parent orchestration (test_engine.py:60-100 + subprocess.py:12-95):
-    spawn one child per shard with --range, wait, merge, evaluate."""
+    spawn one child per shard with --range, wait, merge, evaluate.
+
+    Chip isolation mirrors the reference's one-GPU-per-subprocess
+    CUDA_VISIBLE_DEVICES (subprocess.py:30-40): each child gets
+    TPU_VISIBLE_DEVICES=<i mod chips> so libtpu binds it to one chip
+    (concurrent children sharing a chip would fail libtpu's
+    exclusive-access init). On non-TPU hosts the children instead pin
+    jax_default_device via CPM_SHARD_INDEX (see main)."""
     import subprocess
 
     from cpm_tpu.engine.test import evaluate_results, shard_ranges
@@ -43,6 +59,7 @@ def run_sharded(args, cfg, dataset):
     out_dir = os.path.join(cfg.CKPT, "test")
     os.makedirs(out_dir, exist_ok=True)
     ranges = shard_ranges(len(dataset), args.shards)
+    chips = _local_tpu_chip_count()
     procs = []
     for i, (s, e) in enumerate(ranges):
         cmd = [
@@ -51,6 +68,8 @@ def run_sharded(args, cfg, dataset):
         ] + (args.opts or [])
         env = dict(os.environ)
         env["CPM_SHARD_INDEX"] = str(i)
+        if chips and "TPU_VISIBLE_DEVICES" not in os.environ:
+            env["TPU_VISIBLE_DEVICES"] = str(i % chips)
         log_path = os.path.join(out_dir, f"shard_{s}_{e}.log")
         log = open(log_path, "w")
         procs.append(
@@ -129,7 +148,20 @@ def main():
 
         params = import_cpm_checkpoint(tw, cfg)
         print(f"loaded torch weights from TEST.WEIGHTS: {tw}")
+    elif tw and os.path.exists(tw):
+        # an existing path we cannot import (a directory, or an
+        # unsupported suffix) is a user error — failing fast beats
+        # silently evaluating other weights under this name
+        raise ValueError(
+            f"TEST.WEIGHTS exists but is not an importable torch "
+            f"checkpoint (.pth/.pt/.pkl): {tw}"
+        )
     else:
+        if tw:
+            # reference get_weights semantics: a missing TEST.WEIGHTS
+            # path falls back to the CKPT dir — but loudly
+            print(f"WARNING: TEST.WEIGHTS not found, falling back to "
+                  f"CKPT: {tw}")
         checkpointer = CheckPointer(cfg.CKPT, auto_resume=True)
         restored = checkpointer.load(state)
         if restored is not None:
