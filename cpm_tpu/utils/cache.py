@@ -10,6 +10,29 @@ import os
 import platform
 
 
+def _raw_cpuid_fingerprint() -> str:
+    """Raw CPUID identity leaves, read at call time.
+
+    /proc/cpuinfo (and the kernel boot id) are populated at BOOT and do
+    NOT change across a LIVE VM migration, but LLVM's host detection
+    (the +prefer-no-scatter/-gather tuning attrs baked into XLA:CPU AOT
+    results) executes CPUID directly — so raw CPUID is the only
+    process-visible signal that the host under a live-migrated VM
+    changed. /dev/cpu/0/cpuid pread encoding: low 32 bits of the file
+    position are %eax (leaf), high 32 bits %ecx (subleaf); each read
+    returns eax,ebx,ecx,edx (16 bytes)."""
+    leaves = [(0x0, 0), (0x1, 0), (0x7, 0), (0x7, 1), (0x80000001, 0)]
+    try:
+        with open("/dev/cpu/0/cpuid", "rb", buffering=0) as f:
+            out = []
+            for leaf, sub in leaves:
+                f.seek(leaf | (sub << 32))
+                out.append(f.read(16).hex())
+            return ",".join(out)
+    except OSError:
+        return ""
+
+
 def enable_persistent_cache(cache_dir: str = None):
     import jax
 
@@ -63,12 +86,19 @@ def enable_persistent_cache(cache_dir: str = None):
         # process falls back to CPU implicitly and needs the same
         # migration-proofing); only a platforms string that selects a
         # non-CPU backend keeps the stable migration-surviving key.
+        # boot id catches reboots onto new hardware; the raw-CPUID
+        # fingerprint additionally catches LIVE migrations, which
+        # preserve boot id and /proc/cpuinfo but change what LLVM's
+        # CPUID-based host detection bakes into AOT results.
         if (not platforms) or ("cpu" in platforms):
             try:
                 with open("/proc/sys/kernel/random/boot_id") as f:
                     boot = "|" + f.read().strip()
             except OSError:
                 pass
+            cpuid = _raw_cpuid_fingerprint()
+            if cpuid:
+                boot += "|" + cpuid
         fhash = hashlib.sha1(
             ("|".join(sorted(set(feat_lines))) + f"|jax{_jax.__version__}"
              + boot).encode()
