@@ -457,6 +457,12 @@ def _new_defaults():
     # GRID_RCNN.TEST_MAX_DETECTIONS).
     C.TPU.TOWER_BUCKETS = (16, 48)
     C.TPU.EVAL_TOWER_BUCKETS = (32, 128)
+    # Eval-time resize semantics: 'cv2' = the reference's exact eval
+    # resize (cv2 INTER_LINEAR on the f32 image at one isotropic
+    # im_scale, dsize = cvRound sizes — pet/rcnn/core/test.py:339-360);
+    # 'pil' = legacy antialias resize shared with the train path.
+    # Train always uses PIL (torchvision F.resize parity).
+    C.TPU.EVAL_RESIZE = "cv2"
 
     return C
 
@@ -659,6 +665,8 @@ def assert_and_infer_cfg(target=None, make_immutable=True):
     _check(t.TPU.POOLER_KERNEL in ("auto", "pallas", "stacked",
                                    "clustered", "gather"),
            f"TPU.POOLER_KERNEL invalid: {t.TPU.POOLER_KERNEL}")
+    _check(t.TPU.EVAL_RESIZE in ("cv2", "pil"),
+           f"TPU.EVAL_RESIZE invalid: {t.TPU.EVAL_RESIZE}")
     _check(len(t.TRAIN.SCALES) > 0 and all(s > 0 for s in t.TRAIN.SCALES),
            "TRAIN.SCALES must be non-empty positive")
     _check(0.0 < t.FAST_RCNN.POSITIVE_FRACTION <= 1.0,

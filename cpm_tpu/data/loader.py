@@ -23,6 +23,7 @@ import numpy as np
 
 from cpm_tpu.data.coco import COCODataset
 from cpm_tpu.data.transforms import (
+    get_blob_scale_size,
     TestTransform,
     TrainTransform,
     get_resize_size,
@@ -437,9 +438,17 @@ class TestLoader:
             return None
         info = self.dataset.get_img_info(i)
         oh, ow = info["height"], info["width"]
-        nh, nw = get_resize_size(
-            (oh, ow), self.transform.scale, self.transform.max_size
-        )
+        interp = self.transform.backend  # 'cv2' (eval parity) or 'pil'
+        if interp == "cv2":
+            im_scale, (nh, nw) = get_blob_scale_size(
+                (oh, ow), self.transform.scale, self.transform.max_size
+            )
+            scale_xy = (im_scale, im_scale)
+        else:
+            nh, nw = get_resize_size(
+                (oh, ow), self.transform.scale, self.transform.max_size
+            )
+            scale_xy = (1.0, 1.0)
         bucket = (
             self.buckets["landscape"] if nw >= nh else self.buckets["portrait"]
         )
@@ -448,13 +457,15 @@ class TestLoader:
                 data = f.read()
             if self.device_normalize:
                 img, _ = nat.decode_resize_u8(
-                    data, (nh, nw), bucket, self.transform.to_bgr255
+                    data, (nh, nw), bucket, self.transform.to_bgr255,
+                    interp=interp, scale_xy=scale_xy,
                 )
             else:
                 img, _ = nat.decode_resize_normalize(
                     data, (nh, nw), bucket,
                     self.transform.pixel_means, self.transform.pixel_stds,
                     self.transform.to_bgr255,
+                    interp=interp, scale_xy=scale_xy,
                 )
         except RuntimeError:
             return None

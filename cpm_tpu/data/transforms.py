@@ -43,6 +43,100 @@ def get_resize_size(
     return oh, ow
 
 
+def get_blob_scale_size(
+    orig_hw: Tuple[int, int], target_scale: int, max_size: int
+):
+    """The reference's EVAL-time resize geometry (test.py:343-354
+    get_blob): one isotropic scale factor s = target/shortest, recomputed
+    as max_size/longest when round(s*longest) > max_size; output size is
+    cv2's dsize = (cvRound(w*s), cvRound(h*s)) (round half to even).
+
+    Returns (im_scale, (nh, nw)). Differs from the torchvision/train
+    semantics in get_resize_size by up to a pixel per axis.
+    """
+    h, w = orig_hw
+    size_min = float(min(h, w))
+    size_max = float(max(h, w))
+    im_scale = float(target_scale) / size_min
+    if np.round(im_scale * size_max) > max_size:
+        im_scale = float(max_size) / size_max
+    # cvRound = round half to even, same as python round() on doubles
+    nh = int(round(h * im_scale))
+    nw = int(round(w * im_scale))
+    return im_scale, (nh, nw)
+
+
+def cv2_linear_resize(image: np.ndarray, fx: float, fy: float) -> np.ndarray:
+    """cv2.resize(img, None, None, fx, fy, INTER_LINEAR) on a float32
+    image (the reference casts to f32 before resizing, test.py:344).
+
+    Pure-numpy fallback of the native kernel (imageops.cpp
+    resize_cv2_linear): dst->src mapping (dst+0.5)/f-0.5 through the
+    scale FACTOR (not the size ratio), 2-tap window clamped to the
+    image, f32 coefficient math, and cv2's silent INTER_AREA switch when
+    both factors are exactly 1/2 (count-normalized tail blocks). Matches
+    real cv2 to ~1e-2 absolute in 0..255 units (fp noise; oracle test
+    tests/test_cv2_resize.py).
+    """
+    img = image.astype(np.float32, copy=False)
+    h, w = img.shape[:2]
+    nw = int(round(w * float(fx)))
+    nh = int(round(h * float(fy)))
+    scale_x = 1.0 / float(fx)
+    scale_y = 1.0 / float(fy)
+    if (
+        abs(scale_x - round(scale_x)) < 1e-12
+        and abs(scale_y - round(scale_y)) < 1e-12
+        and round(scale_x) == 2
+        and round(scale_y) == 2
+    ):
+        return _cv2_area2x(img, nh, nw)
+
+    def taps(in_size, out_size, scale):
+        f = ((np.arange(out_size, dtype=np.float64) + 0.5) * scale
+             - 0.5).astype(np.float32)
+        s = np.floor(f).astype(np.int64)
+        a = (f - s).astype(np.float32)
+        a[s < 0] = 0.0
+        s[s < 0] = 0
+        a[s >= in_size - 1] = 0.0
+        s[s >= in_size - 1] = in_size - 1
+        return s, np.minimum(s + 1, in_size - 1), a
+
+    sx, sx1, a = taps(w, nw, scale_x)
+    sy, sy1, b = taps(h, nh, scale_y)
+    if img.ndim == 3:
+        aw = a[None, :, None]
+        bw = b[:, None, None]
+    else:
+        aw = a[None, :]
+        bw = b[:, None]
+    one = np.float32(1)
+    row = img[:, sx] * (one - aw) + img[:, sx1] * aw
+    return row[sy] * (one - bw) + row[sy1] * bw
+
+
+def _cv2_area2x(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """cv2 INTER_AREA fast path for exact 2x downscale: 2x2 block means,
+    tail blocks averaged over only the in-bounds samples."""
+    h, w = img.shape[:2]
+    out = np.zeros((nh, nw) + img.shape[2:], np.float32)
+    fh, fw = min(nh, h // 2), min(nw, w // 2)
+    blk = img[: 2 * fh, : 2 * fw].astype(np.float32)
+    out[:fh, :fw] = 0.25 * (
+        blk[0::2, 0::2] + blk[0::2, 1::2] + blk[1::2, 0::2] + blk[1::2, 1::2]
+    )
+    if nw > fw and w > 2 * fw:  # single-column tail
+        col = img[: 2 * fh, 2 * fw].astype(np.float32)
+        out[:fh, fw] = 0.5 * (col[0::2] + col[1::2])
+    if nh > fh and h > 2 * fh:  # single-row tail
+        rowv = img[2 * fh, : 2 * fw].astype(np.float32)
+        out[fh, :fw] = 0.5 * (rowv[0::2] + rowv[1::2])
+    if nh > fh and nw > fw and h > 2 * fh and w > 2 * fw:
+        out[fh, fw] = img[2 * fh, 2 * fw]
+    return out
+
+
 def resize_image_and_boxes(
     image: np.ndarray,
     boxes: np.ndarray,
@@ -235,19 +329,59 @@ class TrainTransform:
 
 class TestTransform:
     """Fixed-scale resize + normalize. Returns the resize scale for
-    mapping detections back to original coordinates."""
+    mapping detections back to original coordinates.
+
+    backend='cv2' (the default via TPU.EVAL_RESIZE) reproduces the
+    reference's eval resize exactly: cv2 INTER_LINEAR on the f32 image
+    at one isotropic im_scale, dsize = cvRound sizes (test.py:343-354).
+    backend='pil' keeps the antialias train-resize (legacy behavior,
+    a documented deviation)."""
 
     def __init__(self, cfg, scale: Optional[int] = None,
-                 max_size: Optional[int] = None, normalize: bool = True):
+                 max_size: Optional[int] = None, normalize: bool = True,
+                 backend: Optional[str] = None):
         self.scale = scale if scale is not None else cfg.TEST.SCALE
         self.max_size = max_size if max_size is not None else cfg.TEST.MAX_SIZE
         self.pixel_means = tuple(cfg.PIXEL_MEANS)
         self.pixel_stds = tuple(cfg.PIXEL_STDS)
         self.to_bgr255 = bool(cfg.TO_BGR255)
         self.normalize = normalize
+        self.backend = (
+            backend
+            if backend is not None
+            else str(getattr(cfg.TPU, "EVAL_RESIZE", "cv2"))
+        )
+
+    def resolve_size(self, orig_hw: Tuple[int, int]) -> Tuple[int, int]:
+        """(nh, nw) the eval pipeline will produce for an image of
+        orig_hw under this transform's backend."""
+        if self.backend == "cv2":
+            _, (nh, nw) = get_blob_scale_size(
+                orig_hw, self.scale, self.max_size
+            )
+            return nh, nw
+        return get_resize_size(orig_hw, self.scale, self.max_size)
 
     def __call__(self, image):
         h, w = image.shape[:2]
+        if self.backend == "cv2":
+            im_scale, (nh, nw) = get_blob_scale_size(
+                (h, w), self.scale, self.max_size
+            )
+            resized = cv2_linear_resize(image, im_scale, im_scale)
+            if self.normalize:
+                # normalize_image handles f32 input (astype is a no-op)
+                image = normalize_image(
+                    resized, self.pixel_means, self.pixel_stds,
+                    self.to_bgr255,
+                )
+            else:
+                # uint8 for the device-side input affine: round after the
+                # f32 resize (the only quantization on this path; below
+                # the bf16 compute cast — docs/AB_DEVIATIONS.md)
+                resized = np.clip(resized + 0.5, 0, 255).astype(np.uint8)
+                image = to_model_channel_order(resized, self.to_bgr255)
+            return image, (nh, nw), (nh / h, nw / w)
         dummy = np.zeros((0, 4), np.float32)
         image, _, (nh, nw) = resize_image_and_boxes(
             image, dummy, self.scale, self.max_size

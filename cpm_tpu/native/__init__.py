@@ -51,13 +51,15 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.imgops_decode_resize_u8.restype = ctypes.c_int
         lib.imgops_decode_resize_u8.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
@@ -68,7 +70,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ]
         lib.pool_wait_any.restype = ctypes.c_int64
         lib.pool_wait_any.argtypes = [
@@ -80,6 +82,7 @@ def get_lib():
         lib.pool_submit_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ]
         lib.pool_wait_any_u8.restype = ctypes.c_int64
         lib.pool_wait_any_u8.argtypes = [
@@ -97,6 +100,16 @@ def _fptr(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+def _interp_code(interp: str) -> int:
+    """'pil' (triangle/antialias, train parity) -> 0;
+    'cv2' (INTER_LINEAR, eval parity per reference test.py:353-354) -> 1."""
+    if interp == "pil":
+        return 0
+    if interp == "cv2":
+        return 1
+    raise ValueError(f"unknown interp {interp!r}")
+
+
 def decode_resize_normalize(
     data: bytes,
     resized_hw,
@@ -104,9 +117,15 @@ def decode_resize_normalize(
     pixel_means,
     pixel_stds=(1.0, 1.0, 1.0),
     to_bgr255: bool = True,
+    interp: str = "pil",
+    scale_xy=(1.0, 1.0),
 ):
     """Fused decode+resize+normalize+pad. Returns (image [ph,pw,3] f32,
-    (orig_h, orig_w)). Raises RuntimeError on decode failure."""
+    (orig_h, orig_w)). Raises RuntimeError on decode failure.
+
+    interp='cv2' uses the reference's eval-time cv2 INTER_LINEAR mapping;
+    scale_xy = (fx, fy) resize factors (cv2 maps dst->src through 1/f,
+    which is not exactly dsize/ssize)."""
     lib = get_lib()
     rh, rw = resized_hw
     ph, pw = padded_hw
@@ -115,9 +134,11 @@ def decode_resize_normalize(
     std = np.asarray(pixel_stds, np.float32)
     oh = ctypes.c_int(0)
     ow = ctypes.c_int(0)
+    fx, fy = scale_xy
     rc = lib.imgops_decode_resize_normalize(
         data, len(data), rh, rw, ph, pw, _fptr(mean), _fptr(std),
-        1 if to_bgr255 else 0, _fptr(out), ctypes.byref(oh),
+        1 if to_bgr255 else 0, _interp_code(interp),
+        1.0 / float(fx), 1.0 / float(fy), _fptr(out), ctypes.byref(oh),
         ctypes.byref(ow),
     )
     if rc != 0:
@@ -125,7 +146,8 @@ def decode_resize_normalize(
     return out, (oh.value, ow.value)
 
 
-def decode_resize_u8(data: bytes, resized_hw, padded_hw, to_bgr255=True):
+def decode_resize_u8(data: bytes, resized_hw, padded_hw, to_bgr255=True,
+                     interp: str = "pil", scale_xy=(1.0, 1.0)):
     """Fused decode+resize+pad to uint8, channel order per to_bgr255 (no
     normalization — the model applies the input affine on device). Returns
     (image [ph,pw,3] u8, (orig_h, orig_w))."""
@@ -135,8 +157,10 @@ def decode_resize_u8(data: bytes, resized_hw, padded_hw, to_bgr255=True):
     out = np.zeros((ph, pw, 3), np.uint8)
     oh = ctypes.c_int(0)
     ow = ctypes.c_int(0)
+    fx, fy = scale_xy
     rc = lib.imgops_decode_resize_u8(
         data, len(data), rh, rw, ph, pw, 1 if to_bgr255 else 0,
+        _interp_code(interp), 1.0 / float(fx), 1.0 / float(fy),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.byref(oh), ctypes.byref(ow),
     )
@@ -157,23 +181,29 @@ class ImagePool:
     def submit(
         self, task_id: int, path: str, resized_hw, padded_hw,
         pixel_means, pixel_stds=(1.0, 1.0, 1.0), to_bgr255: bool = True,
+        interp: str = "pil", scale_xy=(1.0, 1.0),
     ):
         mean = np.asarray(pixel_means, np.float32)
         std = np.asarray(pixel_stds, np.float32)
         rh, rw = resized_hw
         ph, pw = padded_hw
+        fx, fy = scale_xy
         self.lib.pool_submit(
             self.pool, task_id, path.encode(), rh, rw, ph, pw,
             _fptr(mean), _fptr(std), 1 if to_bgr255 else 0,
+            _interp_code(interp), 1.0 / float(fx), 1.0 / float(fy),
         )
 
     def submit_u8(self, task_id: int, path: str, resized_hw, padded_hw,
-                  to_bgr255: bool = True):
+                  to_bgr255: bool = True, interp: str = "pil",
+                  scale_xy=(1.0, 1.0)):
         rh, rw = resized_hw
         ph, pw = padded_hw
+        fx, fy = scale_xy
         self.lib.pool_submit_u8(
             self.pool, task_id, path.encode(), rh, rw, ph, pw,
-            1 if to_bgr255 else 0,
+            1 if to_bgr255 else 0, _interp_code(interp),
+            1.0 / float(fx), 1.0 / float(fy),
         )
 
     def wait_any_u8(self, padded_hw):

@@ -212,6 +212,127 @@ static void resize_bilinear(const uint8_t* src, int ih, int iw, float* dst,
 }
 
 // ---------------------------------------------------------------------
+// resize (cv2 INTER_LINEAR, no antialias) — the reference's EVAL-time
+// resize semantics (/root/reference/pet/rcnn/core/test.py:353-354:
+// cv2.resize(im_f32, None, None, fx=s, fy=s, INTER_LINEAR)).
+//
+// cv2 maps dst->src at (dst+0.5)*scale-0.5 with scale = 1/f (the scale
+// FACTOR, not dsize/ssize), clamps the 2-tap window to the image, and —
+// a documented cv2 quirk — silently switches to the fast INTER_AREA
+// path when both scale factors are exactly 1/2 (imgproc/resize.cpp:
+// is_area_fast && iscale==2). Tail blocks of that path average only the
+// in-bounds samples. Input is treated as float32 (the reference casts
+// to f32 before resizing), so we interpolate the u8 source in f32.
+// ---------------------------------------------------------------------
+
+struct LinTaps {
+  std::vector<int> s0, s1;
+  std::vector<float> a;  // weight of s1; s0 gets (1-a)
+};
+
+static LinTaps make_cv2_taps(int in_size, int out_size, double scale) {
+  LinTaps t;
+  t.s0.resize(out_size);
+  t.s1.resize(out_size);
+  t.a.resize(out_size);
+  for (int i = 0; i < out_size; ++i) {
+    float f = float((i + 0.5) * scale - 0.5);
+    int s = int(std::floor(f));
+    float a = f - s;
+    if (s < 0) {
+      s = 0;
+      a = 0.f;
+    }
+    if (s >= in_size - 1) {
+      s = in_size - 1;
+      a = 0.f;
+    }
+    t.s0[i] = s;
+    t.s1[i] = std::min(s + 1, in_size - 1);
+    t.a[i] = a;
+  }
+  return t;
+}
+
+// RGB8 [ih, iw] -> float RGB [oh, ow], cv2-INTER_AREA fast 2x path
+// (count-normalized tail blocks).
+static void resize_cv2_area2x(const uint8_t* src, int ih, int iw, float* dst,
+                              int oh, int ow) {
+  for (int y = 0; y < oh; ++y) {
+    int sy0 = 2 * y;
+    float* drow = dst + size_t(y) * ow * 3;
+    for (int x = 0; x < ow; ++x) {
+      int sx0 = 2 * x;
+      float sum[3] = {0.f, 0.f, 0.f};
+      int count = 0;
+      for (int sy = sy0; sy < std::min(sy0 + 2, ih); ++sy) {
+        const uint8_t* srow = src + size_t(sy) * iw * 3;
+        for (int sx = sx0; sx < std::min(sx0 + 2, iw); ++sx) {
+          sum[0] += srow[sx * 3 + 0];
+          sum[1] += srow[sx * 3 + 1];
+          sum[2] += srow[sx * 3 + 2];
+          ++count;
+        }
+      }
+      float inv = count > 0 ? 1.f / count : 0.f;
+      drow[x * 3 + 0] = sum[0] * inv;
+      drow[x * 3 + 1] = sum[1] * inv;
+      drow[x * 3 + 2] = sum[2] * inv;
+    }
+  }
+}
+
+// RGB8 [ih, iw] -> float RGB [oh, ow] with cv2 INTER_LINEAR semantics.
+// scale_x/scale_y are the dst->src mapping scales (1/f).
+static void resize_cv2_linear(const uint8_t* src, int ih, int iw, float* dst,
+                              int oh, int ow, double scale_x,
+                              double scale_y) {
+  int isx = int(scale_x), isy = int(scale_y);
+  if (std::fabs(scale_x - isx) < 1e-12 && std::fabs(scale_y - isy) < 1e-12 &&
+      isx == 2 && isy == 2) {
+    resize_cv2_area2x(src, ih, iw, dst, oh, ow);
+    return;
+  }
+  LinTaps tx = make_cv2_taps(iw, ow, scale_x);
+  LinTaps ty = make_cv2_taps(ih, oh, scale_y);
+  // horizontal pass on every source row, then vertical 2-tap blend
+  // (cv2's HResize-then-VResize order, float math throughout)
+  std::vector<float> tmp(size_t(ih) * ow * 3);
+  for (int y = 0; y < ih; ++y) {
+    const uint8_t* srow = src + size_t(y) * iw * 3;
+    float* trow = tmp.data() + size_t(y) * ow * 3;
+    for (int x = 0; x < ow; ++x) {
+      float a = tx.a[x];
+      const uint8_t* p0 = srow + size_t(tx.s0[x]) * 3;
+      const uint8_t* p1 = srow + size_t(tx.s1[x]) * 3;
+      trow[x * 3 + 0] = p0[0] * (1.f - a) + p1[0] * a;
+      trow[x * 3 + 1] = p0[1] * (1.f - a) + p1[1] * a;
+      trow[x * 3 + 2] = p0[2] * (1.f - a) + p1[2] * a;
+    }
+  }
+  for (int y = 0; y < oh; ++y) {
+    float b = ty.a[y];
+    const float* r0 = tmp.data() + size_t(ty.s0[y]) * ow * 3;
+    const float* r1 = tmp.data() + size_t(ty.s1[y]) * ow * 3;
+    float* drow = dst + size_t(y) * ow * 3;
+    for (int k = 0; k < ow * 3; ++k)
+      drow[k] = r0[k] * (1.f - b) + r1[k] * b;
+  }
+}
+
+// interp dispatch: 0 = PIL triangle/antialias (train parity),
+// 1 = cv2 INTER_LINEAR (eval parity). scale_x/scale_y only matter for
+// interp=1 (cv2 maps through the scale factor, not the size ratio).
+static void resize_dispatch(const uint8_t* src, int ih, int iw, float* dst,
+                            int oh, int ow, int interp, double scale_x,
+                            double scale_y) {
+  if (interp == 1)
+    resize_cv2_linear(src, ih, iw, dst, oh, ow, scale_x, scale_y);
+  else
+    resize_bilinear(src, ih, iw, dst, oh, ow);
+}
+
+// ---------------------------------------------------------------------
 // fused op
 // ---------------------------------------------------------------------
 
@@ -221,8 +342,8 @@ static void resize_bilinear(const uint8_t* src, int ih, int iw, float* dst,
 // Returns 0 on success; fills orig_h/orig_w.
 int imgops_decode_resize_normalize(
     const uint8_t* bytes, int64_t len, int rh, int rw, int ph, int pw,
-    const float* mean, const float* std_, int to_bgr, float* out,
-    int* orig_h, int* orig_w) {
+    const float* mean, const float* std_, int to_bgr, int interp,
+    double scale_x, double scale_y, float* out, int* orig_h, int* orig_w) {
   std::vector<uint8_t> rgb;
   int iw = 0, ihh = 0;
   int rc = decode_jpeg_rgb(bytes, size_t(len), &rgb, &iw, &ihh);
@@ -232,7 +353,8 @@ int imgops_decode_resize_normalize(
   *orig_w = iw;
 
   std::vector<float> resized(size_t(rh) * rw * 3);
-  resize_bilinear(rgb.data(), ihh, iw, resized.data(), rh, rw);
+  resize_dispatch(rgb.data(), ihh, iw, resized.data(), rh, rw, interp,
+                  scale_x, scale_y);
 
   memset(out, 0, sizeof(float) * size_t(ph) * pw * 3);
   for (int y = 0; y < rh; ++y) {
@@ -263,7 +385,8 @@ int imgops_decode_resize_normalize(
 // (PIL.Image.resize returns a uint8 image that the reference normalizes).
 int imgops_decode_resize_u8(
     const uint8_t* bytes, int64_t len, int rh, int rw, int ph, int pw,
-    int to_bgr, uint8_t* out, int* orig_h, int* orig_w) {
+    int to_bgr, int interp, double scale_x, double scale_y, uint8_t* out,
+    int* orig_h, int* orig_w) {
   std::vector<uint8_t> rgb;
   int iw = 0, ihh = 0;
   int rc = decode_jpeg_rgb(bytes, size_t(len), &rgb, &iw, &ihh);
@@ -273,7 +396,8 @@ int imgops_decode_resize_u8(
   *orig_w = iw;
 
   std::vector<float> resized(size_t(rh) * rw * 3);
-  resize_bilinear(rgb.data(), ihh, iw, resized.data(), rh, rw);
+  resize_dispatch(rgb.data(), ihh, iw, resized.data(), rh, rw, interp,
+                  scale_x, scale_y);
 
   auto q = [](float v) {
     int i = int(v + 0.5f);
@@ -308,6 +432,8 @@ struct Task {
   std::string path;
   int rh, rw, ph, pw, to_bgr;
   int u8_mode = 0;  // 1: decode into out8 (no normalization)
+  int interp = 0;   // 0 = PIL antialias, 1 = cv2 INTER_LINEAR
+  double scale_x = 1.0, scale_y = 1.0;
   float mean[3], std_[3];
   std::vector<float> out;
   std::vector<uint8_t> out8;
@@ -349,13 +475,14 @@ static void worker_main(Pool* p) {
           t->out8.resize(size_t(t->ph) * t->pw * 3);
           t->status = imgops_decode_resize_u8(
               bytes.data(), bytes.size(), t->rh, t->rw, t->ph, t->pw,
-              t->to_bgr, t->out8.data(), &t->orig_h, &t->orig_w);
+              t->to_bgr, t->interp, t->scale_x, t->scale_y, t->out8.data(),
+              &t->orig_h, &t->orig_w);
         } else {
           t->out.resize(size_t(t->ph) * t->pw * 3);
           t->status = imgops_decode_resize_normalize(
               bytes.data(), bytes.size(), t->rh, t->rw, t->ph, t->pw,
-              t->mean, t->std_, t->to_bgr, t->out.data(), &t->orig_h,
-              &t->orig_w);
+              t->mean, t->std_, t->to_bgr, t->interp, t->scale_x,
+              t->scale_y, t->out.data(), &t->orig_h, &t->orig_w);
         }
       }
     }
@@ -376,7 +503,7 @@ void* pool_create(int n_workers) {
 
 void pool_submit(void* pool, int64_t id, const char* path, int rh, int rw,
                  int ph, int pw, const float* mean, const float* std_,
-                 int to_bgr) {
+                 int to_bgr, int interp, double scale_x, double scale_y) {
   Pool* p = static_cast<Pool*>(pool);
   Task* t = new Task();
   t->id = id;
@@ -386,6 +513,9 @@ void pool_submit(void* pool, int64_t id, const char* path, int rh, int rw,
   t->ph = ph;
   t->pw = pw;
   t->to_bgr = to_bgr;
+  t->interp = interp;
+  t->scale_x = scale_x;
+  t->scale_y = scale_y;
   memcpy(t->mean, mean, sizeof(t->mean));
   memcpy(t->std_, std_, sizeof(t->std_));
   {
@@ -397,7 +527,8 @@ void pool_submit(void* pool, int64_t id, const char* path, int rh, int rw,
 
 // uint8-mode submit: no mean/std (the model normalizes on device).
 void pool_submit_u8(void* pool, int64_t id, const char* path, int rh,
-                    int rw, int ph, int pw, int to_bgr) {
+                    int rw, int ph, int pw, int to_bgr, int interp,
+                    double scale_x, double scale_y) {
   Pool* p = static_cast<Pool*>(pool);
   Task* t = new Task();
   t->id = id;
@@ -407,6 +538,9 @@ void pool_submit_u8(void* pool, int64_t id, const char* path, int rh,
   t->ph = ph;
   t->pw = pw;
   t->to_bgr = to_bgr;
+  t->interp = interp;
+  t->scale_x = scale_x;
+  t->scale_y = scale_y;
   t->u8_mode = 1;
   {
     std::lock_guard<std::mutex> lk(p->mu);
