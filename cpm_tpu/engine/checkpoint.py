@@ -37,10 +37,47 @@ class CheckPointer:
         self.checkpointer.wait_until_finished()
 
     def load(self, abstract_state) -> Optional[Any]:
-        """Restore model_latest into the given abstract pytree, or None."""
+        """Restore model_latest into the given abstract pytree, or None.
+
+        Falls back to a legacy-rename shim for checkpoints saved before
+        the deform main param was renamed kernel -> weight (round 3,
+        cpm_tpu/ops/deform_conv.py): deform modules are identified by a
+        conv_offset[_mask] sibling, their "weight" leaf is presented to
+        orbax as "kernel", then renamed back after restore.
+        """
         if not os.path.exists(self.latest_path):
             return None
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, abstract_state
         )
-        return self.checkpointer.restore(self.latest_path, abstract)
+        try:
+            return self.checkpointer.restore(self.latest_path, abstract)
+        except Exception:
+            renamed, n = _rename_deform_weight(abstract, to_legacy=True)
+            if n == 0:
+                raise
+            restored = self.checkpointer.restore(self.latest_path, renamed)
+            out, _ = _rename_deform_weight(restored, to_legacy=False)
+            return out
+
+
+def _rename_deform_weight(tree, to_legacy: bool):
+    """Rename deform-pack main params weight<->kernel throughout a pytree
+    of nested dicts. A deform pack is any dict with a conv_offset or
+    conv_offset_mask child next to the main param. Returns (tree, count)."""
+    count = 0
+    src, dst = ("weight", "kernel") if to_legacy else ("kernel", "weight")
+
+    def walk(node):
+        nonlocal count
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) for k, v in node.items()}
+        if src in out and (
+            "conv_offset" in out or "conv_offset_mask" in out
+        ):
+            out[dst] = out.pop(src)
+            count += 1
+        return out
+
+    return walk(tree), count

@@ -19,11 +19,19 @@ Backward is XLA autodiff (scatter-add of the gathers — the deterministic
 equivalent of the CUDA atomic adds).
 """
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Sampler selection is PROCESS-GLOBAL: read once at import (like
+# clustered_pallas's CPM_TPU_POOLER_CLUSTER_DIV) so the knob can't be
+# silently baked into one jitted executable and ignored afterwards.
+# 'corner4' = 4 independent corner gathers; default = windowed 2x2 gather
+# with the hand-written backward (docs/PROFILE.md eleventh pass).
+_DEFORM_IMPL = os.environ.get("CPM_TPU_DEFORM_IMPL", "")
 
 
 def _bilinear_gather_corner4(feat, ys, xs):
@@ -211,11 +219,9 @@ def deform_conv2d(
     xs = base_x[None] + off[..., 1]
 
     P = Ho * Wo * K
-    import os as _os
-
     gather = (
         _bilinear_gather_corner4
-        if _os.environ.get("CPM_TPU_DEFORM_IMPL") == "corner4"
+        if _DEFORM_IMPL == "corner4"
         # the windowed gather's (1,2,2,C) slice needs >= 2 rows/cols
         or H < 2 or W < 2
         else _bilinear_gather

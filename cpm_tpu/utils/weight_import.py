@@ -196,6 +196,25 @@ def _gn(sd, name):
     return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
 
 
+def _stage_conv(sd, name):
+    """Bottleneck stage conv importer that understands deform packs.
+
+    Plain Conv2d -> {"kernel"}. DeformConvPack / ModulatedDeformConvPack
+    (X-101-DCN configs; reference deform_conv.py:472-558 registers the
+    main weight as `weight` plus a conv_offset[/‑mask] child Conv2d) ->
+    {"weight", "conv_offset"/"conv_offset_mask"} matching
+    cpm_tpu.ops.deform_conv, whose main param is named "weight" (not
+    "kernel") to stay outside the USE_WS standardization rule.
+    """
+    for off_name in ("conv_offset", "conv_offset_mask"):
+        if f"{name}.{off_name}.weight" in sd:
+            return {
+                "weight": conv_to_hwio(sd[f"{name}.weight"]),
+                off_name: _conv(sd, f"{name}.{off_name}"),
+            }
+    return {"kernel": conv_to_hwio(sd[f"{name}.weight"])}
+
+
 def deconv_to_grouped_kernel(w: np.ndarray, groups: int) -> np.ndarray:
     """torch ConvTranspose2d weight [Cin, Cout/g, kH, kW] -> the kernel
     layout of cpm_tpu grouped_deconv: [kH, kW, Cin/g, Cout] (UNflipped —
@@ -367,9 +386,7 @@ def import_resnet_backbone_sd(
             for ci in (1, 2, 3):
                 if f"{t_pref}.conv{ci}.weight" not in sd:
                     continue
-                blk[f"conv{ci}"] = {
-                    "kernel": conv_to_hwio(sd[f"{t_pref}.conv{ci}.weight"])
-                }
+                blk[f"conv{ci}"] = _stage_conv(sd, f"{t_pref}.conv{ci}")
                 s, b = fold_bn(sd, f"{t_pref}.bn{ci}", bn_eps)
                 blk[f"AffineChannel_{ci - 1}"] = {"scale": s, "bias": b}
             if f"{t_pref}.downsample.0.weight" in sd:
@@ -398,9 +415,7 @@ def import_c5_stage(
         for ci in (1, 2, 3):
             if f"{t_pref}.conv{ci}.weight" not in sd:
                 continue
-            blk[f"conv{ci}"] = {
-                "kernel": conv_to_hwio(sd[f"{t_pref}.conv{ci}.weight"])
-            }
+            blk[f"conv{ci}"] = _stage_conv(sd, f"{t_pref}.conv{ci}")
             s, b = fold_bn(sd, f"{t_pref}.bn{ci}", bn_eps)
             blk[f"AffineChannel_{ci - 1}"] = {"scale": s, "bias": b}
         if f"{t_pref}.downsample.0.weight" in sd:

@@ -60,30 +60,40 @@ def run_sharded(args, cfg, dataset):
     os.makedirs(out_dir, exist_ok=True)
     ranges = shard_ranges(len(dataset), args.shards)
     chips = _local_tpu_chip_count()
-    procs = []
-    for i, (s, e) in enumerate(ranges):
-        cmd = [
-            sys.executable, os.path.abspath(__file__),
-            "--cfg", args.cfg_file, "--range", str(s), str(e),
-        ] + (args.opts or [])
-        env = dict(os.environ)
-        env["CPM_SHARD_INDEX"] = str(i)
-        if chips and "TPU_VISIBLE_DEVICES" not in os.environ:
-            env["TPU_VISIBLE_DEVICES"] = str(i % chips)
-        log_path = os.path.join(out_dir, f"shard_{s}_{e}.log")
-        log = open(log_path, "w")
-        procs.append(
-            (s, e, subprocess.Popen(cmd, env=env, stdout=log, stderr=log), log)
-        )
-        print(f"spawned shard {i}: images [{s}, {e}) -> {log_path}")
+    # On TPU hosts libtpu takes exclusive ownership of a chip per
+    # process, so never run more concurrent children than chips: launch
+    # in waves of at most `chips` (non-TPU hosts run all shards at once,
+    # like the reference's one-GPU-per-child subprocess.py:30-40).
+    wave_size = chips if chips else len(ranges)
     results = []
-    for s, e, proc, log in procs:
-        ret = proc.wait()
-        log.close()
-        assert ret == 0, f"shard [{s}, {e}) failed with rc={ret}"
-        shard_file = os.path.join(out_dir, f"detection_range_{s}_{e}.json")
-        with open(shard_file) as f:
-            results.extend(json.load(f))
+    for w0 in range(0, len(ranges), max(1, wave_size)):
+        wave = list(enumerate(ranges))[w0 : w0 + max(1, wave_size)]
+        procs = []
+        for i, (s, e) in wave:
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--cfg", args.cfg_file, "--range", str(s), str(e),
+            ] + (args.opts or [])
+            env = dict(os.environ)
+            env["CPM_SHARD_INDEX"] = str(i)
+            if chips and "TPU_VISIBLE_DEVICES" not in os.environ:
+                env["TPU_VISIBLE_DEVICES"] = str(i % chips)
+            log_path = os.path.join(out_dir, f"shard_{s}_{e}.log")
+            log = open(log_path, "w")
+            procs.append(
+                (s, e,
+                 subprocess.Popen(cmd, env=env, stdout=log, stderr=log), log)
+            )
+            print(f"spawned shard {i}: images [{s}, {e}) -> {log_path}")
+        for s, e, proc, log in procs:
+            ret = proc.wait()
+            log.close()
+            assert ret == 0, f"shard [{s}, {e}) failed with rc={ret}"
+            shard_file = os.path.join(
+                out_dir, f"detection_range_{s}_{e}.json"
+            )
+            with open(shard_file) as f:
+                results.extend(json.load(f))
     stats = evaluate_results(cfg, dataset, results, output_dir=out_dir)
     print(json.dumps(stats, indent=2))
 
