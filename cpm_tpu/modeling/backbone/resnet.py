@@ -93,8 +93,13 @@ class _S2DStem(nn.Module):
         )
 
 
-def _conv_op(conv: str, features: int, stride: int, dilation: int, name: str):
-    """3x3 conv selected by the stage's conv option (resnet.py:20-28)."""
+def _conv_op(conv: str, features: int, stride: int, dilation: int,
+             name: str, groups: int = 1):
+    """3x3 conv selected by the stage's conv option (resnet.py:20-28).
+
+    groups > 1 = ResNeXt cardinality; the reference's ResNeXt-DCN
+    configs run the deform 3x3 GROUPED (resnext.py:44-46, conv_op(...,
+    groups=C)), so the deform packs take the same group count."""
     if conv == "normal":
         return _Conv(
             features,
@@ -102,16 +107,19 @@ def _conv_op(conv: str, features: int, stride: int, dilation: int, name: str):
             strides=(stride, stride),
             padding=dilation,
             kernel_dilation=(dilation, dilation),
+            feature_group_count=groups,
             use_bias=False,
             name=name,
         )
     if conv == "deform":
         return DeformConvPack(
-            features, 3, stride=stride, dilation=dilation, name=name
+            features, 3, stride=stride, dilation=dilation, groups=groups,
+            name=name,
         )
     if conv == "deformv2":
         return ModulatedDeformConvPack(
-            features, 3, stride=stride, dilation=dilation, name=name
+            features, 3, stride=stride, dilation=dilation, groups=groups,
+            name=name,
         )
     raise ValueError(f"unsupported conv op: {conv}")
 
@@ -157,23 +165,10 @@ class Bottleneck(nn.Module):
         h = make_norm(width, self.norm)(h) if self.norm != "none" else h
         h = nn.relu(h)
 
-        if self.groups == 1:
-            h = _conv_op(self.conv, width, s3, self.dilation, "conv2")(h)
-        else:
-            if self.conv != "normal":
-                # grouped deformable 3x3 (ResNeXt-DCN configs)
-                h = _conv_op(self.conv, width, s3, self.dilation, "conv2")(h)
-            else:
-                h = _Conv(
-                    width,
-                    (3, 3),
-                    strides=(s3, s3),
-                    padding=self.dilation,
-                    kernel_dilation=(self.dilation, self.dilation),
-                    feature_group_count=self.groups,
-                    use_bias=False,
-                    name="conv2",
-                )(h)
+        h = _conv_op(
+            self.conv, width, s3, self.dilation, "conv2",
+            groups=self.groups,
+        )(h)
         h = make_norm(width, self.norm)(h)
         h = nn.relu(h)
 
@@ -246,14 +241,10 @@ class AlignedBottleneck(nn.Module):
         out_dim = self.planes * self.expansion
 
         def conv3(features, stride, groups, name):
-            if self.conv == "normal" and groups > 1:
-                return _Conv(
-                    features, (3, 3), strides=(stride, stride),
-                    padding=self.dilation,
-                    kernel_dilation=(self.dilation, self.dilation),
-                    feature_group_count=groups, use_bias=False, name=name,
-                )
-            return _conv_op(self.conv, features, stride, self.dilation, name)
+            return _conv_op(
+                self.conv, features, stride, self.dilation, name,
+                groups=groups,
+            )
 
         b1 = _Conv(width, (1, 1), use_bias=False, name="conv1_1")(x)
         b1 = make_norm(width, self.norm)(b1)

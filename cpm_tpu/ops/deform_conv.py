@@ -183,20 +183,26 @@ def deform_conv2d(
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
+    groups: int = 1,
 ) -> jnp.ndarray:
     """Deformable conv core.
 
     Args:
       x: [B, H, W, Cin] input (NHWC).
-      weight: [kh, kw, Cin, Cout].
+      weight: [kh, kw, Cin // groups, Cout].
       offset: [B, Ho, Wo, 2*kh*kw] per-tap (dy, dx) pairs, ordered
         (dy0, dx0, dy1, dx1, ...) over taps row-major — the layout of the
         reference's offset conv output (deform_conv.py:472).
       mask: optional [B, Ho, Wo, kh*kw] modulation (DCNv2); None = v1.
+      groups: conv channel groups (the reference's ResNeXt-DCN configs
+        run the bottleneck 3x3 as a GROUPED deform conv with
+        groups=cardinality, resnext.py:44-46; offsets stay ungrouped —
+        deformable_groups is 1 throughout the reference's configs).
     Returns: [B, Ho, Wo, Cout].
     """
     B, H, W, Cin = x.shape
-    kh, kw, _, Cout = weight.shape
+    kh, kw, w_cin, Cout = weight.shape
+    assert w_cin * groups == Cin, (weight.shape, Cin, groups)
     K = kh * kw
     Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
@@ -232,11 +238,25 @@ def deform_conv2d(
         sampled = sampled * mask[..., None]
 
     # im2col matmul on the MXU.
-    cols = sampled.reshape(B, Ho, Wo, K * Cin)
-    w2 = weight.reshape(K * Cin, Cout)
-    return jnp.einsum(
-        "bhwk,kc->bhwc", cols, w2, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    if groups == 1:
+        cols = sampled.reshape(B, Ho, Wo, K * Cin)
+        w2 = weight.reshape(K * Cin, Cout)
+        return jnp.einsum(
+            "bhwk,kc->bhwc", cols, w2, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    # grouped: input channel c = g*Cg + cc feeds only output block g
+    # (torch grouped-conv semantics; HWIO weight's Cout axis is
+    # groups-major: o = g*Cog + oc). One batched GEMM with g as the
+    # batch dim — 1/groups the FLOPs of the dense contraction.
+    Cg = Cin // groups
+    Cog = Cout // groups
+    colsg = sampled.reshape(B, Ho, Wo, K, groups, Cg)
+    wg = weight.reshape(K, Cg, groups, Cog)
+    out = jnp.einsum(
+        "bhwkgc,kcgo->bhwgo", colsg, wg,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
 
 
 class DeformConvPack(nn.Module):
@@ -246,6 +266,7 @@ class DeformConvPack(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     dilation: int = 1
+    groups: int = 1
     use_bias: bool = False
 
     @nn.compact
@@ -261,7 +282,7 @@ class DeformConvPack(nn.Module):
             kernel_init=nn.initializers.zeros,
             name="conv_offset",
         )(x)
-        cin = x.shape[-1]
+        cin = x.shape[-1] // self.groups
         # named "weight" (not flax's conventional "kernel"), mirroring the
         # reference where DeformConv registers self.weight on a plain
         # nn.Module (deform_conv.py:472-511) — NOT an nn.Conv2d, so the
@@ -274,7 +295,8 @@ class DeformConvPack(nn.Module):
             (k, k, cin, self.features),
         )
         out = deform_conv2d(
-            x, weight, offset, None, self.stride, pad, self.dilation
+            x, weight, offset, None, self.stride, pad, self.dilation,
+            self.groups,
         )
         if self.use_bias:
             out = out + self.param(
@@ -290,6 +312,7 @@ class ModulatedDeformConvPack(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     dilation: int = 1
+    groups: int = 1
     use_bias: bool = False
 
     @nn.compact
@@ -307,7 +330,7 @@ class ModulatedDeformConvPack(nn.Module):
         )(x)
         offset, mask = om[..., : 2 * k * k], om[..., 2 * k * k :]
         mask = jax.nn.sigmoid(mask)
-        cin = x.shape[-1]
+        cin = x.shape[-1] // self.groups
         # "weight", not "kernel": see DeformConvPack — keeps the deform
         # main weight out of the USE_WS name-based standardization rule,
         # matching the reference's isinstance(_ConvNd) conversion scope
@@ -317,7 +340,8 @@ class ModulatedDeformConvPack(nn.Module):
             (k, k, cin, self.features),
         )
         out = deform_conv2d(
-            x, weight, offset, mask, self.stride, pad, self.dilation
+            x, weight, offset, mask, self.stride, pad, self.dilation,
+            self.groups,
         )
         if self.use_bias:
             out = out + self.param(

@@ -83,6 +83,74 @@ def test_deform_conv_matches_regular_when_offsets_zero():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_grouped_deform_conv_matches_grouped_regular_when_offsets_zero():
+    """ResNeXt-DCN parity: the reference's deform 3x3 is GROUPED
+    (resnext.py:44-46, conv_op(..., groups=C)); with zero offsets it
+    must equal a grouped regular conv."""
+    from cpm_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.RandomState(1)
+    groups = 4
+    x = jnp.asarray(rng.randn(2, 8, 10, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8 // groups, 8).astype(np.float32))
+    offset = jnp.zeros((2, 8, 10, 18))
+    out = deform_conv2d(
+        x, w, offset, None, stride=1, padding=1, groups=groups
+    )
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_grouped_deform_conv_equals_blockdiag_dense_with_offsets():
+    """With real offsets + v2 mask, grouped contraction == the dense
+    contraction with a block-diagonal weight (pure linear-algebra
+    identity, so it holds for any sampling)."""
+    from cpm_tpu.ops.deform_conv import deform_conv2d
+
+    rng = np.random.RandomState(2)
+    groups, cin, cout = 2, 6, 8
+    cg, cog = cin // groups, cout // groups
+    x = jnp.asarray(rng.randn(1, 6, 7, cin).astype(np.float32))
+    wg = rng.randn(3, 3, cg, cout).astype(np.float32)
+    off = jnp.asarray(0.7 * rng.randn(1, 6, 7, 18).astype(np.float32))
+    mask = jnp.asarray(
+        rng.uniform(0.2, 1.0, (1, 6, 7, 9)).astype(np.float32)
+    )
+    dense = np.zeros((3, 3, cin, cout), np.float32)
+    for o in range(cout):
+        g = o // cog
+        dense[:, :, g * cg : (g + 1) * cg, o] = wg[:, :, :, o]
+    out_g = deform_conv2d(
+        x, jnp.asarray(wg), off, mask, 1, 1, 1, groups
+    )
+    out_d = deform_conv2d(x, jnp.asarray(dense), off, mask, 1, 1, 1, 1)
+    np.testing.assert_allclose(
+        np.asarray(out_g), np.asarray(out_d), atol=1e-4
+    )
+
+
+def test_resnext_dcn_param_shapes_are_grouped():
+    """X-101-DCN blocks declare the grouped main weight
+    [3,3,width/groups,width] (matches the reference DeformConv
+    parameter, deform_conv.py:398: (out, in//groups, k, k))."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    body = ResNetBody(
+        layers=(1, 1, 1, 1), groups=2, width=4, stride_3x3=True,
+        stage_with_conv=("normal", "deformv2", "deformv2", "deformv2"),
+    )
+    v = body.init(jax.random.PRNGKey(0), x)
+    blk = v["params"]["layer2_0"]["conv2"]
+    width = blk["conv_offset_mask"]["kernel"].shape[2]
+    assert blk["weight"].shape == (3, 3, width // 2, width)
+    outs = body.apply(v, x)
+    assert all(bool(jnp.isfinite(o).all()) for o in outs)
+
+
 def test_s2d_stem_matches_plain_conv1():
     # TPU.S2D_STEM computes the 7x7/2 stem as a 4x4/1 conv over 2x2
     # space-to-depth input; it must be numerically equivalent AND use
