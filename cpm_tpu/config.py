@@ -457,6 +457,12 @@ def _new_defaults():
     # GRID_RCNN.TEST_MAX_DETECTIONS).
     C.TPU.TOWER_BUCKETS = (16, 48)
     C.TPU.EVAL_TOWER_BUCKETS = (32, 128)
+    # Eval-time RoI-pooling precision: 'compute' = the compute dtype
+    # (bf16 on TPU; fastest), 'float32' = f32 accumulation like the
+    # reference CUDA kernel (ROIAlign_cuda.cu:14) — retires the bf16
+    # pooler tie-flip deviation at a measured cost (docs/AB_DEVIATIONS).
+    # Train-side pooling always runs in the compute dtype.
+    C.TPU.EVAL_POOLER_DTYPE = "compute"
     # Eval-time resize semantics: 'cv2' = the reference's exact eval
     # resize (cv2 INTER_LINEAR on the f32 image at one isotropic
     # im_scale, dsize = cvRound sizes — pet/rcnn/core/test.py:339-360);
@@ -667,6 +673,8 @@ def assert_and_infer_cfg(target=None, make_immutable=True):
            f"TPU.POOLER_KERNEL invalid: {t.TPU.POOLER_KERNEL}")
     _check(t.TPU.EVAL_RESIZE in ("cv2", "pil"),
            f"TPU.EVAL_RESIZE invalid: {t.TPU.EVAL_RESIZE}")
+    _check(t.TPU.EVAL_POOLER_DTYPE in ("compute", "float32"),
+           f"TPU.EVAL_POOLER_DTYPE invalid: {t.TPU.EVAL_POOLER_DTYPE}")
     _check(len(t.TRAIN.SCALES) > 0 and all(s > 0 for s in t.TRAIN.SCALES),
            "TRAIN.SCALES must be non-empty positive")
     _check(0.0 < t.FAST_RCNN.POSITIVE_FRACTION <= 1.0,

@@ -292,7 +292,35 @@ class GeneralizedRCNN(nn.Module):
         gt: Optional[dict] = None,
         train: bool = False,
     ):
-        """Train: returns dict of losses. Test: returns Detections."""
+        """Train: returns dict of losses. Test: returns Detections.
+
+        TPU.EVAL_POOLER_DTYPE='float32' pins eval-time RoI pooling to f32
+        accumulation (the reference CUDA kernel's precision,
+        ROIAlign_cuda.cu:14) while the rest of the net keeps the compute
+        dtype — retires the bf16 pooler tie-flip deviation
+        (docs/AB_DEVIATIONS.md) at a measured cost. Train pooling always
+        uses the compute dtype (a deliberate throughput win).
+        """
+        from cpm_tpu.ops import pooler as _pooler_mod
+
+        force_f32 = (not train) and str(
+            getattr(self.cfg.TPU, "EVAL_POOLER_DTYPE", "compute")
+        ) == "float32"
+        if not force_f32:
+            return self._forward(images, image_sizes, gt, train)
+        _pooler_mod.set_pooler_force_f32(True)
+        try:
+            return self._forward(images, image_sizes, gt, train)
+        finally:
+            _pooler_mod.set_pooler_force_f32(False)
+
+    def _forward(
+        self,
+        images: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        gt: Optional[dict] = None,
+        train: bool = False,
+    ):
         c = self.cfg
         if images.dtype == jnp.uint8:
             images = self._normalize_uint8(images)

@@ -53,6 +53,18 @@ def set_pooler_backend(name: str):
     _BACKEND = name
 
 
+# When True (set by GeneralizedRCNN.__call__ for eval traces under
+# TPU.EVAL_POOLER_DTYPE='float32'), pooling runs in f32 regardless of the
+# compute dtype and casts back — the reference CUDA kernel accumulates in
+# f32 (ROIAlign_cuda.cu:14). Trace-time state like _BACKEND.
+_FORCE_F32 = False
+
+
+def set_pooler_force_f32(flag: bool):
+    global _FORCE_F32
+    _FORCE_F32 = bool(flag)
+
+
 def get_pooler_backend() -> str:
     return _BACKEND
 
@@ -147,6 +159,13 @@ class Pooler:
         Returns: [R, ph, pw, C]
         """
         assert len(features) == len(self.scales)
+        out_dtype = features[0].dtype
+        if _FORCE_F32 and out_dtype != jnp.float32:
+            # f32 accumulation (reference ROIAlign_cuda.cu precision);
+            # the caller gets its compute dtype back
+            features = [f.astype(jnp.float32) for f in features]
+            rois = rois.astype(jnp.float32)
+            return self(features, rois, roi_mask).astype(out_dtype)
         if len(features) == 1:
             out = roi_align(
                 features[0],

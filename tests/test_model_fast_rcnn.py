@@ -157,3 +157,36 @@ def test_uint8_device_normalize_matches_f32(tiny_cfg, tiny_batch):
     np.testing.assert_allclose(
         np.asarray(d_f32.scores), np.asarray(d_u8.scores), atol=1e-4
     )
+
+
+def test_eval_pooler_f32_knob(tiny_cfg, tiny_batch):
+    """TPU.EVAL_POOLER_DTYPE=float32 evals cleanly and resets the
+    trace-time flag; with f32 compute it is a value no-op."""
+    import copy
+
+    from cpm_tpu.ops import pooler as P
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.TPU.EVAL_POOLER_DTYPE = "float32"
+    images, image_sizes, gt = tiny_batch
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        images, image_sizes, gt=gt, train=True,
+    )
+    dets = model.apply(variables, images, image_sizes, train=False)
+    assert P._FORCE_F32 is False  # flag restored after the trace
+    assert bool(jnp.isfinite(dets.scores).all())
+    base = build_model(tiny_cfg).apply(
+        variables, images, image_sizes, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(dets.boxes), np.asarray(base.boxes), atol=1e-5
+    )
+    # train path still runs with the flag off throughout
+    losses = model.apply(
+        variables, images, image_sizes, gt=gt, train=True,
+        rngs={"sample": jax.random.PRNGKey(2)},
+    )
+    assert P._FORCE_F32 is False
+    assert all(bool(jnp.isfinite(v)) for v in losses.values())

@@ -175,3 +175,39 @@ def test_multilevel_roi_align_matches_per_level():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_pooler_force_f32_eval_precision():
+    """TPU.EVAL_POOLER_DTYPE='float32': with the force flag set, pooling
+    of bf16 features runs in f32 and casts back — identical values to an
+    explicit f32 pooling of the same bf16 features."""
+    import jax.numpy as jnp
+
+    from cpm_tpu.ops import pooler as P
+
+    rs = np.random.RandomState(0)
+    feats_f32 = [
+        jnp.asarray(rs.randn(1, 32 // s, 48 // s, 8).astype(np.float32))
+        for s in (1, 2, 4, 8)
+    ]
+    feats_bf16 = [f.astype(jnp.bfloat16) for f in feats_f32]
+    rois = jnp.asarray(
+        np.array(
+            [[0, 4.3, 5.1, 90.0, 60.0], [0, 10.0, 2.0, 200.0, 100.0]],
+            np.float32,
+        )
+    )
+    pool = P.Pooler((7, 7), (1 / 4, 1 / 8, 1 / 16, 1 / 32))
+    try:
+        P.set_pooler_force_f32(True)
+        forced = pool(feats_bf16, rois)
+    finally:
+        P.set_pooler_force_f32(False)
+    assert forced.dtype == jnp.bfloat16
+    want = pool(
+        [f.astype(jnp.float32) for f in feats_bf16], rois
+    ).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(forced), np.asarray(want))
+    # flag off: plain bf16 path unchanged
+    plain = pool(feats_bf16, rois)
+    assert plain.dtype == jnp.bfloat16
