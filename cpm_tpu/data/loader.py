@@ -436,6 +436,13 @@ class TestLoader:
         nat = _native()
         if nat is None:
             return None
+        if self.hflip:
+            # reference TTA flips the RAW image before resizing
+            # (test.py:342-343); the native fused op resizes first, so
+            # a post-resize flip would differ sub-pixel under the cv2
+            # mapping. Route TTA flip passes through the python path,
+            # which flips raw then resizes.
+            return None
         info = self.dataset.get_img_info(i)
         oh, ow = info["height"], info["width"]
         interp = self.transform.backend  # 'cv2' (eval parity) or 'pil'
@@ -469,11 +476,6 @@ class TestLoader:
                 )
         except RuntimeError:
             return None
-        if self.hflip:
-            # flip only the valid region, keep padding on the right
-            flipped = np.zeros_like(img)
-            flipped[:nh, :nw] = img[:nh, nw - 1 :: -1]
-            img = flipped
         return img, (nh, nw), (oh, ow)
 
     def _load_one_test(self, i: int):
