@@ -32,6 +32,14 @@ import numpy as np
 T_START = time.time()
 BUDGET_S = float(os.environ.get("CPM_BENCH_BUDGET_S", "480"))
 
+# Self-healing across runs: auxiliary stages are budget-mortal by design
+# (a cold-cache run spends the budget on compilation and emits headline
+# only). Every run persists its non-None fields here; the next run
+# carries forward any field it could not measure itself, listing them in
+# "carried_fields" so a reader can tell fresh from carried.
+SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_sidecar.json")
+
 BASELINE_TRAIN_IPS_PER_CHIP = 1.75  # see module docstring
 
 # bf16 peak per chip by device kind (fallback: v5e)
@@ -168,6 +176,8 @@ def main():
         step_ms=None,
         train_dense_images_per_sec_per_chip=None,
         step_ms_dense=None,
+        train_real_loader_images_per_sec_per_chip=None,
+        real_loader_overhead_pct=None,
         mfu=None,
         host_loader_images_per_sec=None,
         host_pool_scaling=None,
@@ -175,6 +185,25 @@ def main():
     )
 
     def emit():
+        # merge: fields this run could not measure are carried from the
+        # last successful run's sidecar (and labeled as such)
+        carried = []
+        try:
+            with open(SIDECAR) as f:
+                prior = json.load(f)
+            for k, v in result.items():
+                if v is None and prior.get(k) is not None:
+                    result[k] = prior[k]
+                    carried.append(k)
+        except Exception:
+            pass
+        if carried:
+            result["carried_fields"] = carried
+        try:
+            with open(SIDECAR, "w") as f:
+                json.dump(dict(result, _saved_at=time.time()), f, indent=1)
+        except Exception:
+            pass
         print(json.dumps(result), flush=True)
 
     # ---- HEADLINE: realistic-density train throughput (~6 gt/image,
@@ -186,6 +215,18 @@ def main():
         batch_size=batch_size, height=height, width=width,
         max_gt=32, num_classes=81, seed=0,
     )
+    # production input path: the loader ships raw uint8 pixels and the
+    # model normalizes on device (TPU.DEVICE_NORMALIZE default) — so the
+    # benched executable is the same one real training runs, and the
+    # real-loader stage below can reuse it without a second compile.
+    # Pixels cluster around the caffe means: the device affine then
+    # yields ~N(0,1) inputs, keeping the random-init loss finite and the
+    # loss trajectory comparable to the BENCH_r01-r03 f32 batches (raw
+    # uniform u8 normalizes to +-128 and NaNs the untrained net).
+    mean = np.asarray(cfg.PIXEL_MEANS, np.float32)  # BGR, TO_BGR255
+    batch["images"] = np.clip(
+        np.round(batch["images"] + mean), 0, 255
+    ).astype(np.uint8)
     rt = {k: np.array(v) for k, v in batch.items()}
     rt["gt_mask"] = rt["gt_mask"].copy()
     rt["gt_mask"][:, 6:] = False
@@ -366,7 +407,89 @@ def main():
     except Exception as e:
         print(f"# inference point unavailable: {e}", flush=True)
 
-    # ---- host data path (loader; pool scaling only if opted in) ----
+    # ---- real-loader-fed train steps: the full production loop (JPEG
+    # decode -> resize -> pad -> H2D -> jitted step), vs the resident-
+    # data headline. Shares the compiled executable: the loader's padded
+    # u8 batches have the same shapes/dtypes as the synthetic ones. ----
+    if _have_budget(60):
+        try:
+            import copy as _copy
+            import tempfile
+
+            from PIL import Image
+
+            from cpm_tpu.data.coco import COCODataset
+            from cpm_tpu.data.loader import TrainLoader
+
+            loader_cfg = _copy.deepcopy(cfg)
+            loader_cfg.TRAIN.MAX_GT_BOXES = 32  # match compiled gt pad
+            rng = np.random.RandomState(1)
+            with tempfile.TemporaryDirectory() as td:
+                img_dir = os.path.join(td, "images")
+                os.makedirs(img_dir)
+                images_meta, annotations = [], []
+                for i in range(12):
+                    h, w = 800, 1216
+                    arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+                    Image.fromarray(arr).save(
+                        os.path.join(img_dir, f"{i:06d}.jpg"), quality=90
+                    )
+                    images_meta.append(dict(
+                        id=i + 1, file_name=f"{i:06d}.jpg",
+                        width=w, height=h,
+                    ))
+                    annotations.append(dict(
+                        id=i + 1, image_id=i + 1, category_id=1,
+                        bbox=[10.0, 10.0, 100.0, 100.0], area=10000.0,
+                        iscrowd=0,
+                    ))
+                ann = os.path.join(td, "ann.json")
+                with open(ann, "w") as f:
+                    json.dump(dict(
+                        images=images_meta, annotations=annotations,
+                        categories=[dict(id=1, name="c1")],
+                    ), f)
+                ds = COCODataset(ann, img_dir)
+                loader = TrainLoader(
+                    loader_cfg, ds, batch_size=batch_size, prefetch=2
+                )
+                it = iter(loader)
+                with mesh:
+                    b0 = next(it)
+                    assert b0["images"].shape == rt["images"].shape, (
+                        b0["images"].shape, rt["images"].shape
+                    )
+                    state, metrics = compiled(
+                        state, shard_batch(b0, mesh)
+                    )
+                    float(metrics["total_loss"])  # warm barrier
+                    t0 = time.time()
+                    for _ in range(steps):
+                        nb = shard_batch(next(it), mesh)
+                        state, metrics = compiled(state, nb)
+                    float(metrics["total_loss"])
+                    real_dt = time.time() - t0
+                del it, loader
+            real_ips = batch_size * steps / real_dt / n_dev
+            result.update(
+                train_real_loader_images_per_sec_per_chip=round(
+                    real_ips, 3
+                ),
+                real_loader_overhead_pct=round(
+                    (1.0 - real_ips / per_chip) * 100.0, 1
+                ),
+            )
+            print(
+                f"# real-loader: {steps} steps in {real_dt:.3f}s "
+                f"({real_dt / steps * 1e3:.1f} ms/step, "
+                f"{result['real_loader_overhead_pct']}% over resident) "
+                f"[t+{_elapsed():.0f}s]",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"# real-loader point unavailable: {e}", flush=True)
+
+    # ---- host data path (decode-only loader rate; pool scaling) ----
     if _have_budget(45):
         try:
             loader_ips = measure_loader_throughput(cfg)
@@ -374,7 +497,7 @@ def main():
                 result["host_loader_images_per_sec"] = round(loader_ips, 2)
         except Exception as e:
             print(f"# loader point unavailable: {e}", flush=True)
-    if os.environ.get("CPM_BENCH_POOL") == "1" and _have_budget(90):
+    if os.environ.get("CPM_BENCH_POOL") != "0" and _have_budget(90):
         result["host_pool_scaling"] = measure_pool_scaling()
 
     emit()
