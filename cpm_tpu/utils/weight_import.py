@@ -337,10 +337,17 @@ def import_cpm_checkpoint(path_or_sd, cfg) -> Dict:
         for k, v in sd.items()
         if k.startswith("Conv_Body.")
     }
+    # resnext trunks (X-101 configs) carry their stage counts under
+    # BACKBONE.RESNEXT; the torch key layout is identical either way
+    bb_section = (
+        cfg.BACKBONE.RESNEXT
+        if "resnext" in str(cfg.BACKBONE.CONV_BODY)
+        else cfg.BACKBONE.RESNET
+    )
     params: Dict = {
         "backbone": import_resnet_backbone_sd(
             bb_sd,
-            layers=tuple(cfg.BACKBONE.RESNET.LAYERS),
+            layers=tuple(bb_section.LAYERS),
             conv1_rgb2bgr=cfg.MODEL.CONV1_RGB2BGR,
         ),
         "fpn": import_fpn(sd, "Conv_Body_FPN."),

@@ -1,0 +1,198 @@
+"""Multi-process checkpoint/resume: rank-collective save + restored data
+stream (the jax.distributed analogue of the reference's rank-0
+torch.save at train_net.py:84-88 and the sampler restart at :127).
+
+Three 2-process phases over the SAME rank-sliced TrainLoader stream:
+  straight: 4 train steps, recording per-step loss + batch checksum;
+  part1:    2 steps, then EVERY rank calls CheckPointer.save (orbax
+            writes once from the primary — rank-0-only would hang the
+            finalize barrier);
+  part2:    fresh processes auto-resume, fast-forward the loader to the
+            checkpointed iteration, run 2 more steps.
+Steps 3-4 of `straight` must match part2 exactly: same batches (the
+loader fast-forward at world_size>1) and same losses (state round-trip).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cpm_mh_cache")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+rank = int(sys.argv[1]); port = sys.argv[2]
+phase = sys.argv[3]          # 'straight' | 'part1' | 'part2'
+workdir = sys.argv[4]        # dataset + checkpoint root
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                           process_id=rank)
+from jax._src import distributed
+_client = distributed.global_state.client
+_BARRIER_MS = 600_000
+_client.wait_at_barrier("init", _BARRIER_MS)
+
+sys.path.insert(0, os.getcwd())
+import numpy as np
+from __graft_entry__ import _flagship_cfg
+from cpm_tpu.data.coco import COCODataset
+from cpm_tpu.data.loader import TrainLoader
+from cpm_tpu.engine.checkpoint import CheckPointer
+from cpm_tpu.engine.train import (
+    create_train_state, jit_train_step, make_train_step,
+)
+from cpm_tpu.parallel.mesh import make_mesh, shard_batch
+
+cfg = _flagship_cfg(tiny=True)
+cfg.TRAIN.SCALES = (64,)
+cfg.TRAIN.MAX_SIZE = 96
+cfg.TRAIN.MAX_GT_BOXES = 4
+cfg.SEED = 0
+
+ds = COCODataset(os.path.join(workdir, "ann.json"),
+                 os.path.join(workdir, "images"))
+ck_dir = os.path.join(workdir, "ck_" + ("straight" if phase == "straight"
+                                        else "resume"))
+start_iter = 0
+loader = TrainLoader(cfg, ds, batch_size=2, rank=rank, world_size=2,
+                     seed=cfg.SEED, prefetch=0)
+sample = next(iter(loader))
+model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), sample)
+ck = CheckPointer(ck_dir, auto_resume=True)
+if phase == "part2":
+    restored = ck.load(state) if ck.resumed else None
+    assert restored is not None, "part2 must resume from part1's save"
+    state = restored
+    start_iter = int(np.asarray(state.step))
+    assert start_iter == 2, start_iter
+    loader.start_iter = start_iter
+    # restore wall time differs across ranks (OCDBT reads on a loaded
+    # 1-core box); re-sync on the coordination barrier so the first
+    # gloo collective is reached within its hard 30s window
+    _client.wait_at_barrier("restored", _BARRIER_MS)
+
+mesh = make_mesh(4)
+step = jit_train_step(make_train_step(cfg, model, tx), mesh)
+n_steps = {"straight": 4, "part1": 2, "part2": 2}[phase]
+records = []
+with mesh:
+    sharded0 = shard_batch(sample, mesh)
+    compiled = step.lower(state, sharded0).compile()  # local, no comms
+    _client.wait_at_barrier("compiled", _BARRIER_MS)
+    it = start_iter
+    for batch in loader:
+        if it >= start_iter + n_steps:
+            break
+        csum = float(np.asarray(batch["images"], np.float64).sum())
+        state, metrics = compiled(state, shard_batch(batch, mesh))
+        loss = float(metrics["total_loss"])
+        records.append(dict(iter=it, loss=loss, csum=csum))
+        it += 1
+    if phase == "part1":
+        # COLLECTIVE save: both ranks call; orbax primary writes
+        ck.save(state, it, snapshot=False)
+        _client.wait_at_barrier("saved", _BARRIER_MS)
+import json as _json
+print("RECORDS" + str(rank) + " " + _json.dumps(records), flush=True)
+"""
+
+
+def _make_dataset(root):
+    from PIL import Image
+
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(7)
+    images, anns = [], []
+    for i in range(8):
+        h, w = 60, 80
+        arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{i}.png"))
+        images.append(dict(id=i + 1, file_name=f"{i}.png",
+                           height=h, width=w))
+        anns.append(dict(id=i + 1, image_id=i + 1, category_id=1,
+                         bbox=[4, 4, 30, 30], area=900, iscrowd=0))
+    with open(os.path.join(root, "ann.json"), "w") as f:
+        json.dump(dict(images=images, annotations=anns,
+                       categories=[dict(id=1, name="c")]), f)
+
+
+def _run_phase(worker, workdir, phase):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(r), str(port), phase,
+             str(workdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    recs = {}
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            return None, outs
+        line = [l for l in out.splitlines()
+                if l.startswith(f"RECORDS{r} ")][0]
+        recs[r] = json.loads(line.split(" ", 1)[1])
+    return recs, outs
+
+
+def test_multiprocess_checkpoint_resume(tmp_path):
+    worker = tmp_path / "mh_ck_worker.py"
+    worker.write_text(_WORKER)
+    workdir = tmp_path / "work"
+    os.makedirs(workdir)
+    _make_dataset(str(workdir))
+
+    # first attempts may be cache-cold (see test_multihost.py); retry once
+    for attempt in range(2):
+        straight, outs = _run_phase(worker, workdir, "straight")
+        if straight is not None:
+            break
+    assert straight is not None, f"straight failed:\n{outs[0][-2500:]}\n{outs[1][-2500:]}"
+
+    for attempt in range(2):
+        part1, outs = _run_phase(worker, workdir, "part1")
+        if part1 is not None:
+            break
+    assert part1 is not None, f"part1 failed:\n{outs[0][-2500:]}\n{outs[1][-2500:]}"
+
+    for attempt in range(2):
+        part2, outs = _run_phase(worker, workdir, "part2")
+        if part2 is not None:
+            break
+    assert part2 is not None, f"part2 failed:\n{outs[0][-2500:]}\n{outs[1][-2500:]}"
+
+    for r in range(2):
+        # part1 replays the first half of the straight stream
+        for a, b in zip(straight[r][:2], part1[r]):
+            assert a["iter"] == b["iter"]
+            assert a["csum"] == b["csum"], (a, b)
+            assert a["loss"] == pytest.approx(b["loss"], abs=1e-6)
+        # the resumed run consumes the identical remaining batches and
+        # reproduces the straight-through losses
+        assert [x["iter"] for x in part2[r]] == [2, 3]
+        for a, b in zip(straight[r][2:], part2[r]):
+            assert a["csum"] == b["csum"], (a, b)
+            assert a["loss"] == pytest.approx(b["loss"], abs=1e-6)
+    # ranks see the same loss (all-reduced) but different local batches
+    assert straight[0][0]["loss"] == pytest.approx(
+        straight[1][0]["loss"], abs=1e-6
+    )

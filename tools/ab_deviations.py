@@ -76,46 +76,73 @@ def main():
     dataset = load_dataset()
     backend = jax.default_backend()
 
+    # A/B legs: each deviation toggled against the default-path baseline.
+    #   gather      — pure-XLA pooler, cv2 eval resize (the new default)
+    #   pallas      — the default TPU pooler kernel
+    #   pallas_f32  — pallas + TPU.EVAL_POOLER_DTYPE=float32 (the knob
+    #                 that retires the bf16 pooler tie-flip)
+    #   resize_pil  — gather + legacy PIL-antialias eval resize (the
+    #                 retired deviation, kept to quantify its AP impact)
+    import time as _time
+
+    legs = {
+        "gather": dict(TPU_POOLER="gather"),
+        "pallas": dict(TPU_POOLER="pallas"),
+        "pallas_f32": dict(TPU_POOLER="pallas", POOL_DTYPE="float32"),
+        "resize_pil": dict(TPU_POOLER="gather", RESIZE="pil"),
+    }
     results = {}
     stats = {}
-    for kernel in ("gather", "pallas"):
+    wall = {}
+    for name, leg in legs.items():
         cfg = our_cfg()
-        cfg.TPU.POOLER_KERNEL = kernel
+        cfg.TPU.POOLER_KERNEL = leg["TPU_POOLER"]
+        cfg.TPU.EVAL_POOLER_DTYPE = leg.get("POOL_DTYPE", "compute")
+        cfg.TPU.EVAL_RESIZE = leg.get("RESIZE", "cv2")
         cfg.TPU.COMPUTE_DTYPE = (
             "bfloat16" if backend == "tpu" else "float32"
         )
         params = import_cpm_checkpoint(sd, cfg)
         model = build_model(cfg)
+        t0 = _time.time()
         res = run_inference_on_dataset(
             cfg, model, params, dataset, progress_every=0
         )
-        results[kernel] = res
+        wall[name] = (_time.time() - t0) / max(len(dataset), 1)
+        results[name] = res
         img_ids = [dataset.id_to_img_map[i] for i in range(len(dataset))]
         with contextlib.redirect_stdout(io.StringIO()):
-            stats[kernel] = COCOEvaluator(dataset.coco).evaluate(
+            stats[name] = COCOEvaluator(dataset.coco).evaluate(
                 res, img_ids=img_ids
             )
-        print(f"{kernel}: {len(res)} dets, AP {stats[kernel]['AP']:.4f}")
+        print(f"{name}: {len(res)} dets, AP {stats[name]['AP']:.4f}, "
+              f"{wall[name] * 1e3:.0f} ms/img (incl host)")
 
     # per-detection deltas (match by image/category/rank)
     def key(r):
         return (r["image_id"], r["category_id"])
 
-    by = {}
-    for k in ("gather", "pallas"):
-        for r in sorted(results[k], key=lambda r: -r["score"]):
-            by.setdefault(key(r), {}).setdefault(k, []).append(r)
-    box_d, score_d, n_pairs = 0.0, 0.0, 0
-    for v in by.values():
-        a = v.get("gather", [])
-        b = v.get("pallas", [])
-        for ra, rb in zip(a, b):
-            box_d = max(
-                box_d,
-                max(abs(x - y) for x, y in zip(ra["bbox"], rb["bbox"])),
-            )
-            score_d = max(score_d, abs(ra["score"] - rb["score"]))
-            n_pairs += 1
+    def pair_delta(a_name, b_name):
+        by = {}
+        for k in (a_name, b_name):
+            for r in sorted(results[k], key=lambda r: -r["score"]):
+                by.setdefault(key(r), {}).setdefault(k, []).append(r)
+        box_d, score_d, n_pairs = 0.0, 0.0, 0
+        for v in by.values():
+            a = v.get(a_name, [])
+            b = v.get(b_name, [])
+            for ra, rb in zip(a, b):
+                box_d = max(
+                    box_d,
+                    max(abs(x - y) for x, y in zip(ra["bbox"], rb["bbox"])),
+                )
+                score_d = max(score_d, abs(ra["score"] - rb["score"]))
+                n_pairs += 1
+        return box_d, score_d, n_pairs
+
+    box_d, score_d, n_pairs = pair_delta("gather", "pallas")
+    f32_box_d, f32_score_d, f32_pairs = pair_delta("gather", "pallas_f32")
+    rs_box_d, rs_score_d, rs_pairs = pair_delta("gather", "resize_pil")
 
     # overflow audit over eval-time roi sets
     from cpm_tpu.ops import pooler as P
@@ -189,6 +216,39 @@ def main():
         "",
         f"Per-detection (rank-matched, {n_pairs} pairs): max box delta "
         f"{box_d:.4f} px, max score delta {score_d:.5f}.",
+        "",
+        "## TPU.EVAL_POOLER_DTYPE=float32 (pallas, f32 accumulation)",
+        "",
+        "| metric | gather | pallas_f32 | delta |",
+        "|---|---|---|---|",
+    ]
+    for k in ("AP", "AP50", "AP75", "AR100"):
+        g, p = stats["gather"][k], stats["pallas_f32"][k]
+        lines.append(f"| {k} | {g:.4f} | {p:.4f} | {p - g:+.4f} |")
+    lines += [
+        "",
+        f"Per-detection ({f32_pairs} pairs): max box delta "
+        f"{f32_box_d:.4f} px, max score delta {f32_score_d:.5f}. "
+        f"Eval wall: compute-dtype {wall['pallas'] * 1e3:.0f} ms/img vs "
+        f"f32-pool {wall['pallas_f32'] * 1e3:.0f} ms/img.",
+        "",
+        "## TPU.EVAL_RESIZE: cv2 (reference-exact, default) vs legacy pil",
+        "",
+        "| metric | cv2 | pil | delta (pil - cv2) |",
+        "|---|---|---|---|",
+    ]
+    for k in ("AP", "AP50", "AP75", "AR100"):
+        g, p = stats["gather"][k], stats["resize_pil"][k]
+        lines.append(f"| {k} | {g:.4f} | {p:.4f} | {p - g:+.4f} |")
+    lines += [
+        "",
+        f"Per-detection ({rs_pairs} pairs): max box delta "
+        f"{rs_box_d:.4f} px, max score delta {rs_score_d:.5f}. The cv2 "
+        "semantics (INTER_LINEAR on the f32 image at one isotropic "
+        "im_scale, cvRound dsize — reference test.py:339-360) are now "
+        "the eval default; the PIL-antialias eval resize deviation is "
+        "RETIRED (tests/test_cv2_resize.py oracles the implementation "
+        "against real cv2).",
         "",
         "## Pallas window-overflow rate (eval roi sets)",
         "",

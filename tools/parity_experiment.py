@@ -75,6 +75,38 @@ DELTAS = [
     ("TO_BGR255", False),
 ]
 
+# --trunk r50: the flagship-width model (R-50 trunk, 81-class heads, the
+# production head dims) trained on the same synthetic set at the small
+# TRAIN canvas (torch-CPU affordable) but EVALUATED at the reference's
+# 800/1333 resolution — the det-parity operating point of the real
+# recipe. Overrides applied on top of DELTAS.
+R50_DELTAS = [
+    ("MODEL.NUM_CLASSES", 81),
+    ("BACKBONE.RESNET.LAYERS", (3, 4, 6, 3)),
+    ("GRID_RCNN.MLP_HEAD.MLP_DIM", 1024),
+    ("GRID_RCNN.GRID_HEAD.NUM_CONVS", 8),
+    ("GRID_RCNN.GRID_HEAD.POINT_FEAT_CHANNELS", 64),
+    ("RPN.PRE_NMS_TOP_N_TEST", 1000),
+    ("RPN.POST_NMS_TOP_N_TEST", 1000),
+    ("RPN.FPN_POST_NMS_TOP_N_TEST", 1000),
+    ("GRID_RCNN.TEST_MAX_DETECTIONS", 200),
+    ("TEST.SCALE", 800),
+    ("TEST.MAX_SIZE", 1333),
+]
+
+_TRUNK = "tiny"
+
+
+def set_trunk(trunk: str):
+    """Select the experiment trunk before building either model."""
+    global _TRUNK
+    assert trunk in ("tiny", "r50"), trunk
+    _TRUNK = trunk
+
+
+def _active_deltas():
+    return DELTAS + (R50_DELTAS if _TRUNK == "r50" else [])
+
 
 def _set_path(cfg, path, value):
     parts = path.split(".")
@@ -96,7 +128,7 @@ def build_reference():
     import importlib
 
     ref_config = importlib.import_module("pet.rcnn.core.config")
-    for path, value in DELTAS:
+    for path, value in _active_deltas():
         _set_path(ref_config.cfg, path, value)
     MB = importlib.import_module("pet.rcnn.modeling.model_builder")
     torch.manual_seed(0)
@@ -134,7 +166,7 @@ def our_cfg():
     from cpm_tpu.config import get_default_cfg
 
     cfg = get_default_cfg()
-    for path, value in DELTAS:
+    for path, value in _active_deltas():
         _set_path(cfg, path, value)
     cfg.TPU.COMPUTE_DTYPE = "float32"
     # Normalization alignment: this experiment feeds BOTH models raw
@@ -256,6 +288,16 @@ def main():
     ap.add_argument("--label-steps", type=int, default=None,
                     help="total trained steps for the report header "
                          "(eval-only: the checkpoint's cumulative count)")
+    ap.add_argument("--trunk", choices=["tiny", "r50"], default="tiny",
+                    help="tiny: 1-block full-width trunk (fast CPU "
+                         "lockstep); r50: flagship-width R-50 trunk + "
+                         "81-class production heads, evaluated at "
+                         "800/1333 (det-parity at the real recipe's "
+                         "resolution; torch side is slow — use "
+                         "--eval-n)")
+    ap.add_argument("--eval-n", type=int, default=None,
+                    help="evaluate only the first N images (torch-CPU "
+                         "r50 eval at 800/1333 costs minutes per image)")
     ap.add_argument("--bn", choices=["freeze", "live"], default="freeze",
                     help="freeze (default): fold BN into frozen affines "
                          "before training, mirroring the reference CLI "
@@ -264,6 +306,13 @@ def main():
                          "produced the 0.8573 number; NOT a recipe the "
                          "reference ever runs)")
     args = ap.parse_args()
+
+    set_trunk(args.trunk)
+    if args.trunk == "r50":
+        if args.out == "docs/PARITY_MAP.md":
+            args.out = "docs/PARITY_MAP_R50.md"
+        if args.ckpt == "/tmp/cpm_parity_ref.pt":
+            args.ckpt = "/tmp/cpm_parity_ref_r50.pt"
 
     import torch
 
@@ -353,29 +402,58 @@ def main():
     from cpm_tpu.engine.test import run_inference_on_dataset
     from cpm_tpu.evaluation.coco_eval import COCOEvaluator
 
+    eval_n = min(args.eval_n or len(dataset), len(dataset))
     our_results = run_inference_on_dataset(
-        cfg, model, params, dataset, progress_every=0
+        cfg, model, params, dataset, end=eval_n, progress_every=0
     )
 
-    # reference eval loop (test_engine.py test() in miniature)
+    # reference eval loop (test_engine.py test() in miniature). The
+    # resize mirrors the real reference eval: cv2 INTER_LINEAR on the
+    # f32 image at one isotropic im_scale (test.py:339-360) — the same
+    # semantics run_inference_on_dataset uses on the jax side via the
+    # TPU.EVAL_RESIZE='cv2' default, so resize cancels out of the
+    # parity comparison.
     ref.eval()
-    from cpm_tpu.data.transforms import resize_image_and_boxes
+    from cpm_tpu.data.transforms import (
+        cv2_linear_resize,
+        get_blob_scale_size,
+    )
 
     ref_results = []
     c2j = dataset.contiguous_category_id_to_json_id
+    test_scale = cfg.TEST.SCALE
+    test_max = cfg.TEST.MAX_SIZE
+    # pad to the SAME bucket canvas the jax TestLoader uses, so padding
+    # semantics cancel out of the comparison (the jax side pads every
+    # image to one fixed compiled shape; the reference pads to
+    # 32-divisible — feeding torch our canvas isolates arithmetic parity)
+    div = cfg.TEST.SIZE_DIVISIBILITY
+
+    def _round_up(v):
+        return (int(v) + div - 1) // div * div
+
+    short, long_ = _round_up(test_scale), _round_up(test_max)
+    teval0 = time.time()
     with torch.no_grad():
-        for i in range(len(dataset)):
+        for i in range(eval_n):
             img = dataset.load_image(i)
             oh, ow = img.shape[:2]
-            rimg, _, (nh, nw) = resize_image_and_boxes(
-                img, np.zeros((0, 4), np.float32), 64, 96
+            im_scale, (nh, nw) = get_blob_scale_size(
+                (oh, ow), test_scale, test_max
+            )
+            rimg = cv2_linear_resize(
+                img.astype(np.float32), im_scale, im_scale
             )
             from pet.utils.data.structures.image_list import ImageList
 
-            buf = np.zeros((64, 96, 3), np.float32)
+            ch, cw = (short, long_) if nw >= nh else (long_, short)
+            buf = np.zeros((ch, cw, 3), np.float32)
             buf[:nh, :nw] = rimg[:nh, :nw]
             t = torch.from_numpy(buf.transpose(2, 0, 1).copy())
             res = ref(ImageList(t[None], [(nh, nw)]))[0]
+            if i == 0:
+                print(f"torch eval: {time.time() - teval0:.0f}s/img",
+                      flush=True)
             boxes = res.bbox.numpy()
             scores = res.get_field("scores").numpy()
             labels = res.get_field("labels").numpy()
@@ -391,7 +469,7 @@ def main():
                     score=float(s),
                 ))
 
-    img_ids = [dataset.id_to_img_map[i] for i in range(len(dataset))]
+    img_ids = [dataset.id_to_img_map[i] for i in range(eval_n)]
     with contextlib.redirect_stdout(io.StringIO()):
         ours_stats = COCOEvaluator(dataset.coco).evaluate(
             our_results, img_ids=img_ids
@@ -400,14 +478,46 @@ def main():
             ref_results, img_ids=img_ids
         )
 
+    # det-level audit: rank-match within (image, category), max drift
+    def _rank_match(a_res, b_res):
+        by = {}
+        for tag, rs in (("a", a_res), ("b", b_res)):
+            for r in sorted(rs, key=lambda r: -r["score"]):
+                k = (r["image_id"], r["category_id"])
+                by.setdefault(k, {}).setdefault(tag, []).append(r)
+        box_d = score_d = 0.0
+        n = 0
+        for v in by.values():
+            for ra, rb in zip(v.get("a", []), v.get("b", [])):
+                box_d = max(box_d, max(
+                    abs(x - y) for x, y in zip(ra["bbox"], rb["bbox"])
+                ))
+                score_d = max(score_d, abs(ra["score"] - rb["score"]))
+                n += 1
+        return box_d, score_d, n
+
+    det_box_d, det_score_d, det_pairs = _rank_match(
+        ref_results, our_results
+    )
+    print(f"det audit: {det_pairs} rank-matched pairs, max box drift "
+          f"{det_box_d:.3f} px, max score drift {det_score_d:.5f}")
+
     # ---- report ----
+    trunk_desc = (
+        "flagship-width R-50 trunk + 81-class production heads, "
+        f"evaluated at {cfg.TEST.SCALE}/{cfg.TEST.MAX_SIZE}"
+        if args.trunk == "r50"
+        else "tiny full-width CPM (CMM+ISM+RSM)"
+    )
     lines = [
-        "# mAP / training-trajectory parity vs the reference torch model",
+        "# mAP / training-trajectory parity vs the reference torch model"
+        + (" — R-50 flagship width" if args.trunk == "r50" else ""),
         "",
         f"Recipe: {args.label_steps or args.steps} SGD steps "
         f"(lr {args.lr}, warmup {warmup}), "
-        f"synthetic COCO ({len(dataset)} images, 8 classes), tiny "
-        "full-width CPM (CMM+ISM+RSM) — see tools/parity_experiment.py.",
+        f"synthetic COCO ({len(dataset)} images, 8 classes, "
+        f"{eval_n} evaluated), {trunk_desc} — see "
+        "tools/parity_experiment.py.",
         "",
         "## COCOeval with identical final weights",
         "",
@@ -419,6 +529,13 @@ def main():
         r, o = ref_stats[k], ours_stats[k]
         lines.append(f"| {k} | {r:.4f} | {o:.4f} | {o - r:+.4f} |")
     lines += [
+        "",
+        "## Det-level audit (rank-matched within image x category)",
+        "",
+        f"{det_pairs} pairs: max box drift **{det_box_d:.3f} px** "
+        f"(at {cfg.TEST.SCALE}/{cfg.TEST.MAX_SIZE} eval resolution, "
+        "original-image coordinates), max score drift "
+        f"**{det_score_d:.5f}**.",
         "",
         f"## Lockstep loss overlay (first {len(overlay)} steps)",
         "",
