@@ -158,7 +158,10 @@ def main():
     n_dev = jax.local_device_count()
     per_chip_batch = 2  # reference recipe: global batch 16 over 8 GPUs
     batch_size = per_chip_batch * n_dev
-    height, width = 832, 1344  # 800-shortest-side landscape bucket
+    # the production TrainLoader bucket for the 800/1333 recipe:
+    # compute_buckets rounds the shortest side up to 32 -> exactly 800,
+    # longest 1333 -> 1344 (cpm_tpu/data/loader.py)
+    height, width = 800, 1344
 
     trace_dir = os.environ.get("CPM_BENCH_TRACE")
 
@@ -178,6 +181,8 @@ def main():
         step_ms_dense=None,
         train_real_loader_images_per_sec_per_chip=None,
         real_loader_overhead_pct=None,
+        real_loader_wait_ms=None,
+        real_loader_h2d_ms=None,
         mfu=None,
         host_loader_images_per_sec=None,
         host_pool_scaling=None,
@@ -423,6 +428,10 @@ def main():
 
             loader_cfg = _copy.deepcopy(cfg)
             loader_cfg.TRAIN.MAX_GT_BOXES = 32  # match compiled gt pad
+            # flagship recipe scales (the synthetic batch's 832x1344
+            # bucket); _flagship_cfg leaves the config defaults (600)
+            loader_cfg.TRAIN.SCALES = (800,)
+            loader_cfg.TRAIN.MAX_SIZE = 1333
             rng = np.random.RandomState(1)
             with tempfile.TemporaryDirectory() as td:
                 img_dir = os.path.join(td, "images")
@@ -463,12 +472,29 @@ def main():
                         state, shard_batch(b0, mesh)
                     )
                     float(metrics["total_loss"])  # warm barrier
+                    # depth-1 device-side prefetch: H2D of batch i+1 is
+                    # enqueued (device_put is async) before reading
+                    # batch i's step, so the transfer rides behind the
+                    # device compute like the production train loop
+                    t_wait = 0.0
                     t0 = time.time()
-                    for _ in range(steps):
-                        nb = shard_batch(next(it), mesh)
-                        state, metrics = compiled(state, nb)
+                    pending = shard_batch(next(it), mesh)
+                    for s in range(steps):
+                        state, metrics = compiled(state, pending)
+                        if s + 1 < steps:
+                            t1 = time.time()
+                            nb = next(it)
+                            t_wait += time.time() - t1
+                            pending = shard_batch(nb, mesh)
                     float(metrics["total_loss"])
                     real_dt = time.time() - t0
+                    # attribution probe: synchronous H2D cost of one
+                    # batch (the tunnel serializes transfers; on a local
+                    # host this rides DMA behind compute)
+                    t1 = time.time()
+                    for _ in range(4):
+                        jax.block_until_ready(shard_batch(b0, mesh))
+                    h2d_ms = (time.time() - t1) / 4 * 1e3
                 del it, loader
             real_ips = batch_size * steps / real_dt / n_dev
             result.update(
@@ -478,11 +504,14 @@ def main():
                 real_loader_overhead_pct=round(
                     (1.0 - real_ips / per_chip) * 100.0, 1
                 ),
+                real_loader_wait_ms=round(t_wait / steps * 1e3, 1),
+                real_loader_h2d_ms=round(h2d_ms, 1),
             )
             print(
                 f"# real-loader: {steps} steps in {real_dt:.3f}s "
                 f"({real_dt / steps * 1e3:.1f} ms/step, "
-                f"{result['real_loader_overhead_pct']}% over resident) "
+                f"{result['real_loader_overhead_pct']}% over resident; "
+                f"loader-wait {t_wait / steps * 1e3:.1f} ms/step) "
                 f"[t+{_elapsed():.0f}s]",
                 flush=True,
             )

@@ -26,7 +26,15 @@ class CheckPointer:
         self.resumed = auto_resume and os.path.exists(self.latest_path)
 
     def save(self, state, step: int, snapshot: bool = False):
-        """Write model_latest (+ model_iter<N> snapshot copy)."""
+        """Write model_latest (+ model_iter<N> snapshot copy).
+
+        Multi-process discipline: EVERY process must call this (orbax
+        coordinates with a barrier and the primary process writes the
+        replicated host arrays) — the collective equivalent of the
+        reference's rank-0 torch.save (train_net.py:84-88). The
+        host-side np.asarray conversion requires the state to be fully
+        replicated over the mesh, which DP training guarantees.
+        """
         payload = jax.tree_util.tree_map(np.asarray, state)
         for path in [self.latest_path] + (
             [os.path.join(self.ckpt_dir, f"model_iter{step}")]
@@ -47,6 +55,23 @@ class CheckPointer:
         """
         if not os.path.exists(self.latest_path):
             return None
+        # Multi-process: orbax's restore ends with a GLOO-backed
+        # sync_global_processes whose hard ~30s window cannot be
+        # configured; ranks reach load() with minutes of startup skew
+        # (backend init, cache loads), which kills the whole job. Align
+        # on the coordination-service barrier (its timeout IS
+        # configurable and it does not touch gloo) first.
+        if jax.process_count() > 1:
+            try:
+                from jax._src import distributed
+
+                client = distributed.global_state.client
+                if client is not None:
+                    client.wait_at_barrier(
+                        "cpm_checkpointer_load", 600_000
+                    )
+            except Exception:
+                pass  # single-controller runtimes have no client
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, abstract_state
         )

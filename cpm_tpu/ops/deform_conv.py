@@ -238,25 +238,30 @@ def deform_conv2d(
         sampled = sampled * mask[..., None]
 
     # im2col matmul on the MXU.
+    cols = sampled.reshape(B, Ho, Wo, K * Cin)
     if groups == 1:
-        cols = sampled.reshape(B, Ho, Wo, K * Cin)
         w2 = weight.reshape(K * Cin, Cout)
-        return jnp.einsum(
-            "bhwk,kc->bhwc", cols, w2, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-    # grouped: input channel c = g*Cg + cc feeds only output block g
-    # (torch grouped-conv semantics; HWIO weight's Cout axis is
-    # groups-major: o = g*Cog + oc). One batched GEMM with g as the
-    # batch dim — 1/groups the FLOPs of the dense contraction.
-    Cg = Cin // groups
-    Cog = Cout // groups
-    colsg = sampled.reshape(B, Ho, Wo, K, groups, Cg)
-    wg = weight.reshape(K, Cg, groups, Cog)
-    out = jnp.einsum(
-        "bhwkgc,kcgo->bhwgo", colsg, wg,
-        preferred_element_type=jnp.float32,
-    )
-    return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
+    else:
+        # grouped (ResNeXt-DCN): input block g feeds only output block g
+        # (torch semantics; the HWIO weight's Cout axis is groups-major).
+        # Contract through a BLOCK-DIAGONAL dense weight instead of a
+        # per-group batched GEMM: with cardinality-32 widths each group's
+        # GEMM is [.,72]x[72,8] — the N=8 output tile wastes 15/16 of the
+        # MXU lanes and measured 992 ms/step end-to-end on X-101 vs
+        # 713 ms for the dense contraction (docs/PROFILE.md twelfth
+        # pass). The zero blocks cost FLOPs the MXU has to spare; the
+        # parameter stays the grouped [kh,kw,Cin/g,Cout] shape the
+        # reference checkpoint carries, and autodiff through the one-hot
+        # mask yields exactly the per-block gradient.
+        Cg = Cin // groups
+        Cog = Cout // groups
+        w5 = weight.reshape(kh * kw, Cg, groups, Cog)
+        eye = jnp.eye(groups, dtype=weight.dtype)
+        dense = jnp.einsum("kcgo,gh->khcgo", w5, eye)
+        w2 = dense.reshape(K * Cin, Cout)
+    return jnp.einsum(
+        "bhwk,kc->bhwc", cols, w2, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
 
 
 class DeformConvPack(nn.Module):

@@ -65,20 +65,26 @@ loader = TrainLoader(cfg, ds, batch_size=2, rank=rank, world_size=2,
                      seed=cfg.SEED, prefetch=0)
 sample = next(iter(loader))
 model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0), sample)
+mesh = make_mesh(4)
 ck = CheckPointer(ck_dir, auto_resume=True)
 if phase == "part2":
     restored = ck.load(state) if ck.resumed else None
     assert restored is not None, "part2 must resume from part1's save"
-    state = restored
-    start_iter = int(np.asarray(state.step))
+    # restored leaves are process-local single-device arrays; rebuild
+    # them as GLOBAL arrays replicated over the mesh (each process
+    # contributes its full local copy — no cross-host transfer)
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    state = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            rep, np.asarray(x)
+        ),
+        restored,
+    )
+    start_iter = int(np.asarray(state.step.addressable_shards[0].data))
     assert start_iter == 2, start_iter
     loader.start_iter = start_iter
-    # restore wall time differs across ranks (OCDBT reads on a loaded
-    # 1-core box); re-sync on the coordination barrier so the first
-    # gloo collective is reached within its hard 30s window
-    _client.wait_at_barrier("restored", _BARRIER_MS)
 
-mesh = make_mesh(4)
 step = jit_train_step(make_train_step(cfg, model, tx), mesh)
 n_steps = {"straight": 4, "part1": 2, "part2": 2}[phase]
 records = []
@@ -87,20 +93,26 @@ with mesh:
     compiled = step.lower(state, sharded0).compile()  # local, no comms
     _client.wait_at_barrier("compiled", _BARRIER_MS)
     it = start_iter
+    # batch checksums are host-side; the chained steps are read ONCE at
+    # the end (per-step readouts add per-step cross-rank sync points
+    # that have deadlocked under load)
+    metrics = None
     for batch in loader:
         if it >= start_iter + n_steps:
             break
         csum = float(np.asarray(batch["images"], np.float64).sum())
         state, metrics = compiled(state, shard_batch(batch, mesh))
-        loss = float(metrics["total_loss"])
-        records.append(dict(iter=it, loss=loss, csum=csum))
+        records.append(dict(iter=it, csum=csum))
         it += 1
+    final_loss = float(metrics["total_loss"])
     if phase == "part1":
         # COLLECTIVE save: both ranks call; orbax primary writes
         ck.save(state, it, snapshot=False)
         _client.wait_at_barrier("saved", _BARRIER_MS)
 import json as _json
-print("RECORDS" + str(rank) + " " + _json.dumps(records), flush=True)
+print("RECORDS" + str(rank) + " "
+      + _json.dumps(dict(batches=records, final_loss=final_loss)),
+      flush=True)
 """
 
 
@@ -142,7 +154,15 @@ def _run_phase(worker, workdir, phase):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            # cold-cache compiles or gloo stalls on a loaded box: kill
+            # the pair and let the caller retry on a warm cache
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+            out = "(timeout)"
         outs.append(out)
     recs = {}
     for r, (p, out) in enumerate(zip(procs, outs)):
@@ -182,17 +202,20 @@ def test_multiprocess_checkpoint_resume(tmp_path):
 
     for r in range(2):
         # part1 replays the first half of the straight stream
-        for a, b in zip(straight[r][:2], part1[r]):
+        for a, b in zip(straight[r]["batches"][:2], part1[r]["batches"]):
             assert a["iter"] == b["iter"]
             assert a["csum"] == b["csum"], (a, b)
-            assert a["loss"] == pytest.approx(b["loss"], abs=1e-6)
-        # the resumed run consumes the identical remaining batches and
-        # reproduces the straight-through losses
-        assert [x["iter"] for x in part2[r]] == [2, 3]
-        for a, b in zip(straight[r][2:], part2[r]):
+        # the resumed run consumes the identical remaining batches...
+        assert [x["iter"] for x in part2[r]["batches"]] == [2, 3]
+        for a, b in zip(straight[r]["batches"][2:], part2[r]["batches"]):
             assert a["csum"] == b["csum"], (a, b)
-            assert a["loss"] == pytest.approx(b["loss"], abs=1e-6)
-    # ranks see the same loss (all-reduced) but different local batches
-    assert straight[0][0]["loss"] == pytest.approx(
-        straight[1][0]["loss"], abs=1e-6
+        # ...and ends at the straight-through loss (state round-trip
+        # through the collective orbax save + restore is exact)
+        assert part2[r]["final_loss"] == pytest.approx(
+            straight[r]["final_loss"], abs=1e-6
+        )
+    # ranks see the same (all-reduced) loss but different local batches
+    assert straight[0]["final_loss"] == pytest.approx(
+        straight[1]["final_loss"], abs=1e-6
     )
+    assert straight[0]["batches"][0]["csum"] != straight[1]["batches"][0]["csum"]

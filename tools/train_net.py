@@ -110,20 +110,38 @@ def main():
         )
         print(f"loaded pretrained backbone from {cfg.TRAIN.WEIGHTS}")
 
+    mesh = make_mesh()
     checkpointer = CheckPointer(
         ckpt_dir, auto_resume=cfg.TRAIN.AUTO_RESUME
     )
     restored = checkpointer.load(state) if checkpointer.resumed else None
     if restored is not None:
+        if world > 1:
+            # restored leaves are process-local; rebuild them as GLOBAL
+            # arrays replicated over the mesh (each process contributes
+            # its full local copy — no cross-host transfer), or the
+            # jitted step rejects the shardings
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            restored = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)
+                ),
+                restored,
+            )
         state = restored
         # fast-forward the data stream to the checkpointed iteration so
         # the resumed run consumes the identical batch sequence an
         # uninterrupted run would (reference: IterationBasedBatchSampler
         # restarted at scheduler.iteration, tools/rcnn/train_net.py:127)
-        loader.start_iter = int(state.step)
-        print(f"auto-resumed from iter {int(state.step)}")
-
-    mesh = make_mesh()
+        step0 = int(np.asarray(jax.device_get(
+            state.step.addressable_shards[0].data
+            if hasattr(state.step, "addressable_shards")
+            else state.step
+        )))
+        loader.start_iter = step0
+        print(f"auto-resumed from iter {step0}")
     step_fn = jit_train_step(make_train_step(cfg, model, tx), mesh)
     logger = TrainingLogger(
         cfg.MODEL.TYPE, log_period=cfg.DISPLAY_ITER,
@@ -144,13 +162,17 @@ def main():
                 logger.update_stats(metrics, it)
                 logger.log_stats(it)
             logger.iter_toc()
-            if rank == 0 and (
+            # checkpoint save is a COLLECTIVE: every rank calls it and
+            # orbax writes once from the primary (the jax equivalent of
+            # the reference's rank-0 torch.save, train_net.py:84-88 —
+            # a rank-0-only call would hang orbax's finalize barrier
+            # under jax.distributed)
+            if (
                 it % cfg.SOLVER.SNAPSHOT_ITERS == 0
                 or it == cfg.SOLVER.MAX_ITER
             ):
                 checkpointer.save(state, it, snapshot=True)
-    if rank == 0:
-        checkpointer.save(state, it, snapshot=False)
+    checkpointer.save(state, it, snapshot=False)
     print("training done at iter", it)
 
 
