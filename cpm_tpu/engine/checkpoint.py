@@ -23,7 +23,37 @@ class CheckPointer:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.checkpointer = ocp.StandardCheckpointer()
         self.latest_path = os.path.join(self.ckpt_dir, "model_latest")
-        self.resumed = auto_resume and os.path.exists(self.latest_path)
+        # Multi-process: the resume decision must be COLLECTIVE. If ranks
+        # decided from their own os.path.exists and disagreed (eventually
+        # consistent fs, a racing save), the divergent ranks would skip
+        # load()'s barrier + collective orbax restore while the rest
+        # block and die at the barrier timeout. Rank 0's answer is
+        # broadcast through the coordination-service KV store so every
+        # rank takes the same branch; ranks where the file is then
+        # genuinely absent fail loudly in restore instead of deadlocking.
+        self._exists = self._collective_exists()
+        self.resumed = auto_resume and self._exists
+
+    def _collective_exists(self) -> bool:
+        local = os.path.exists(self.latest_path)
+        if jax.process_count() <= 1:
+            return local
+        try:
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+            if client is None:
+                return local
+            key = f"cpm_ckpt_exists:{self.latest_path}"
+            if jax.process_index() == 0:
+                try:
+                    client.key_value_set(key, "1" if local else "0",
+                                         allow_overwrite=True)
+                except TypeError:  # older jax: no allow_overwrite kwarg
+                    client.key_value_set(key, "1" if local else "0")
+            return client.blocking_key_value_get(key, 600_000) == "1"
+        except Exception:
+            return local  # best-effort: single-controller runtimes etc.
 
     def save(self, state, step: int, snapshot: bool = False):
         """Write model_latest (+ model_iter<N> snapshot copy).
@@ -43,6 +73,7 @@ class CheckPointer:
         ):
             self.checkpointer.save(path, payload, force=True)
         self.checkpointer.wait_until_finished()
+        self._exists = True  # save is collective: all ranks agree
 
     def load(self, abstract_state) -> Optional[Any]:
         """Restore model_latest into the given abstract pytree, or None.
@@ -53,7 +84,13 @@ class CheckPointer:
         conv_offset[_mask] sibling, their "weight" leaf is presented to
         orbax as "kernel", then renamed back after restore.
         """
-        if not os.path.exists(self.latest_path):
+        # Collective decision (see _collective_exists): either every rank
+        # returns None here or every rank proceeds to the barrier +
+        # restore below. Re-evaluated when __init__ saw nothing — a
+        # checkpoint may have been written since (e.g. by this process).
+        if not self._exists:
+            self._exists = self._collective_exists()
+        if not self._exists:
             return None
         # Multi-process: orbax's restore ends with a GLOO-backed
         # sync_global_processes whose hard ~30s window cannot be
@@ -77,13 +114,49 @@ class CheckPointer:
         )
         try:
             return self.checkpointer.restore(self.latest_path, abstract)
-        except Exception:
+        except Exception as err:
+            # The rename shim can only heal a structure mismatch caused
+            # by legacy on-disk names; for any other failure (corrupt
+            # checkpoint, genuine shape/dtype mismatch) re-raise the
+            # ORIGINAL error rather than masking it with a retry
+            # traceback.
             renamed, n = _rename_deform_weight(abstract, to_legacy=True)
-            if n == 0:
+            if n == 0 or self._on_disk_has_legacy_names() is False:
                 raise
-            restored = self.checkpointer.restore(self.latest_path, renamed)
+            try:
+                restored = self.checkpointer.restore(
+                    self.latest_path, renamed
+                )
+            except Exception as retry_err:
+                raise retry_err from err
             out, _ = _rename_deform_weight(restored, to_legacy=False)
             return out
+
+    def _on_disk_has_legacy_names(self) -> Optional[bool]:
+        """True/False if the saved tree verifiably does/doesn't contain a
+        legacy deform 'kernel' param (a conv_offset sibling), None when
+        the metadata can't be read (then the retry stays permissive)."""
+        try:
+            meta = self.checkpointer.metadata(self.latest_path)
+            tree = getattr(meta, "item_metadata", None) or meta
+            found = False
+
+            def walk(node):
+                nonlocal found
+                if hasattr(node, "keys"):
+                    keys = set(node.keys())
+                    if "kernel" in keys and (
+                        "conv_offset" in keys
+                        or "conv_offset_mask" in keys
+                    ):
+                        found = True
+                    for k in keys:
+                        walk(node[k])
+
+            walk(tree)
+            return found
+        except Exception:
+            return None
 
 
 def _rename_deform_weight(tree, to_legacy: bool):

@@ -308,11 +308,8 @@ class GeneralizedRCNN(nn.Module):
         ) == "float32"
         if not force_f32:
             return self._forward(images, image_sizes, gt, train)
-        _pooler_mod.set_pooler_force_f32(True)
-        try:
+        with _pooler_mod.pooler_force_f32_scope(True):
             return self._forward(images, image_sizes, gt, train)
-        finally:
-            _pooler_mod.set_pooler_force_f32(False)
 
     def _forward(
         self,

@@ -53,16 +53,28 @@ def set_pooler_backend(name: str):
     _BACKEND = name
 
 
-# When True (set by GeneralizedRCNN.__call__ for eval traces under
+# When True (scoped by GeneralizedRCNN.__call__ for eval traces under
 # TPU.EVAL_POOLER_DTYPE='float32'), pooling runs in f32 regardless of the
 # compute dtype and casts back — the reference CUDA kernel accumulates in
-# f32 (ROIAlign_cuda.cu:14). Trace-time state like _BACKEND.
-_FORCE_F32 = False
+# f32 (ROIAlign_cuda.cu:14). A ContextVar rather than a module global:
+# a trace started on another thread, or nested inside the eval trace,
+# sees its own context's value instead of silently inheriting (or
+# clobbering) the in-flight eval setting, and pooler_force_f32_scope's
+# token-restore keeps nested scopes correct.
+import contextlib
+import contextvars
+
+_FORCE_F32 = contextvars.ContextVar("cpm_pooler_force_f32", default=False)
 
 
-def set_pooler_force_f32(flag: bool):
-    global _FORCE_F32
-    _FORCE_F32 = bool(flag)
+@contextlib.contextmanager
+def pooler_force_f32_scope(flag: bool):
+    """Pin (or unpin) f32 pooling for traces entered within the scope."""
+    token = _FORCE_F32.set(bool(flag))
+    try:
+        yield
+    finally:
+        _FORCE_F32.reset(token)
 
 
 def get_pooler_backend() -> str:
@@ -160,7 +172,7 @@ class Pooler:
         """
         assert len(features) == len(self.scales)
         out_dtype = features[0].dtype
-        if _FORCE_F32 and out_dtype != jnp.float32:
+        if _FORCE_F32.get() and out_dtype != jnp.float32:
             # f32 accumulation (reference ROIAlign_cuda.cu precision);
             # the caller gets its compute dtype back
             features = [f.astype(jnp.float32) for f in features]

@@ -175,7 +175,7 @@ def test_eval_pooler_f32_knob(tiny_cfg, tiny_batch):
         images, image_sizes, gt=gt, train=True,
     )
     dets = model.apply(variables, images, image_sizes, train=False)
-    assert P._FORCE_F32 is False  # flag restored after the trace
+    assert P._FORCE_F32.get() is False  # flag restored after the trace
     assert bool(jnp.isfinite(dets.scores).all())
     base = build_model(tiny_cfg).apply(
         variables, images, image_sizes, train=False
@@ -188,5 +188,5 @@ def test_eval_pooler_f32_knob(tiny_cfg, tiny_batch):
         variables, images, image_sizes, gt=gt, train=True,
         rngs={"sample": jax.random.PRNGKey(2)},
     )
-    assert P._FORCE_F32 is False
+    assert P._FORCE_F32.get() is False
     assert all(bool(jnp.isfinite(v)) for v in losses.values())

@@ -198,11 +198,9 @@ def test_pooler_force_f32_eval_precision():
         )
     )
     pool = P.Pooler((7, 7), (1 / 4, 1 / 8, 1 / 16, 1 / 32))
-    try:
-        P.set_pooler_force_f32(True)
+    with P.pooler_force_f32_scope(True):
         forced = pool(feats_bf16, rois)
-    finally:
-        P.set_pooler_force_f32(False)
+    assert P._FORCE_F32.get() is False  # scope restored
     assert forced.dtype == jnp.bfloat16
     want = pool(
         [f.astype(jnp.float32) for f in feats_bf16], rois

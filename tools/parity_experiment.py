@@ -298,6 +298,9 @@ def main():
     ap.add_argument("--eval-n", type=int, default=None,
                     help="evaluate only the first N images (torch-CPU "
                          "r50 eval at 800/1333 costs minutes per image)")
+    ap.add_argument("--save-every", type=int, default=200,
+                    help="torch checkpoint interval in steps (divergence "
+                         "aborts lose at most this much progress)")
     ap.add_argument("--bn", choices=["freeze", "live"], default="freeze",
                     help="freeze (default): fold BN into frozen affines "
                          "before training, mirroring the reference CLI "
@@ -383,7 +386,7 @@ def main():
         if step % 20 == 0:
             print(f"step {step}: ref total {float(total):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
-        if step and step % 200 == 0:
+        if step and step % args.save_every == 0:
             torch.save(ref.state_dict(), args.ckpt)
 
     if args.eval_only:
