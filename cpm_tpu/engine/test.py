@@ -53,6 +53,13 @@ def detections_to_coco(
     for i in range(len(boxes)):
         if not mask[i]:
             continue
+        if int(labels[i]) not in contiguous_to_json:
+            # a model with more classes than the dataset (e.g. the
+            # 81-class parity trunk eval'd on the 8-class synthetic set)
+            # can emit labels the dataset never defines; COCOeval can't
+            # score them and the reference-side eval drops them the same
+            # way (tools/parity_experiment.py)
+            continue
         x1, y1, x2, y2 = boxes[i]
         x1, x2 = x1 / sw, x2 / sw
         y1, y2 = y1 / sh, y2 / sh

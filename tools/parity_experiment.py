@@ -462,6 +462,8 @@ def main():
             labels = res.get_field("labels").numpy()
             sh, sw = nh / oh, nw / ow
             for b, s, l in zip(boxes, scores, labels):
+                if int(l) not in c2j:
+                    continue  # 81-class heads on the 8-class synth set
                 x1, y1, x2, y2 = b
                 ref_results.append(dict(
                     image_id=dataset.id_to_img_map[i],
