@@ -99,7 +99,7 @@ def run_loop(compiled, state, it, mesh, shard_batch, steps,
                 pending = shard_batch(nb, mesh)
                 ph["h2d"] += time.time() - t1
         float(metrics["total_loss"])
-        return time.time() - t0, ph
+        return time.time() - t0, ph, state
 
     # variant D: a dedicated thread pulls host batches and enqueues H2D,
     # handing device-resident batches to the main loop via a 1-slot queue
@@ -129,7 +129,7 @@ def run_loop(compiled, state, it, mesh, shard_batch, steps,
         state, metrics = compiled(state, pending)
         ph["dispatch"] += time.time() - t1
     float(metrics["total_loss"])
-    return time.time() - t0, ph
+    return time.time() - t0, ph, state
 
 
 def main():
@@ -210,7 +210,7 @@ def main():
                 b0 = next(it)
                 state, metrics = compiled(state, shard_batch(b0, mesh))
                 float(metrics["total_loss"])  # warm barrier
-                wall, ph = run_loop(
+                wall, ph, state = run_loop(
                     compiled, state, it, mesh, shard_batch, steps,
                     transfer_thread=tthread,
                 )
