@@ -16,7 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# CPM_TEST_TPU=1 runs the suite against the real backend instead (the
+# TPU-only pallas guards stop skipping); default stays hermetic CPU.
+if os.environ.get("CPM_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 from cpm_tpu.utils.cache import enable_persistent_cache
 

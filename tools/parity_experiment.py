@@ -274,6 +274,10 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--overlay", type=int, default=50)
     ap.add_argument("--lr", type=float, default=0.002)
+    ap.add_argument("--warmup", type=int, default=20,
+                    help="linear lr warmup steps (the flagship-width "
+                         "trunk diverges readily at lr 2e-3 / warmup 20; "
+                         "r50 runs use --lr 1e-3 --warmup 50)")
     ap.add_argument("--seed", type=int, default=0,
                     help="data-order seed (torch init stays seed 0); "
                          "endpoint AP on the 16-image recipe is "
@@ -353,7 +357,7 @@ def main():
     opt = torch.optim.SGD(
         ref.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4
     )
-    warmup = 20
+    warmup = args.warmup
 
     overlay = []
     t0 = time.time()
