@@ -191,6 +191,10 @@ def _cl_fwd_body(level_hw, nlvl, sr, ph, pw, G,
         wait_prev_copies()
         window_dma(s, slot, start=False)
         fd = win_scratch.dtype
+        # f32 features: HIGHEST so the MXU does not truncate to bf16
+        # (see the windowed kernel); bf16 keeps the native path
+        prec = (jax.lax.Precision.HIGHEST
+                if fd == jnp.float32 else None)
         win = win_scratch[slot]  # [WIN, WIN, C]
         goff = goff_ref[s]
         gsize = gsize_ref[s]
@@ -211,6 +215,7 @@ def _cl_fwd_body(level_hw, nlvl, sr, ph, pw, G,
         t = jnp.dot(
             wy, win.reshape(WIN, WIN * C),
             preferred_element_type=jnp.float32,
+            precision=prec,
         ).reshape(G * Sy, WIN, C)
 
         for g in range(G):
@@ -225,6 +230,7 @@ def _cl_fwd_body(level_hw, nlvl, sr, ph, pw, G,
                     wx,
                     tg.transpose(1, 0, 2).reshape(WIN, Sy * C),
                     preferred_element_type=jnp.float32,
+                    precision=prec,
                 ).reshape(Sx, Sy, C)
                 vals = tg.transpose(1, 0, 2)
                 pooled = vals.reshape(ph, sr, pw, sr, C).mean(axis=(1, 3))

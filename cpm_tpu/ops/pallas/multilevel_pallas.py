@@ -307,7 +307,15 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw, G, D,
             fd = win_scratch.dtype
             # matmuls in the feature dtype with f32 accumulation
             # (MXU-native for bf16); the window in its own dtype halves
-            # VMEM pressure
+            # VMEM pressure. For f32 FEATURES the MXU's default
+            # precision would silently truncate the multiplicand
+            # mantissas to bf16 (~1e-3 rel error vs the gather path);
+            # HIGHEST runs the multi-pass f32 emulation so the opt-in
+            # TPU.EVAL_POOLER_DTYPE='float32' path is genuinely f32
+            # (matching the reference CUDA kernel's accumulation,
+            # ROIAlign_cuda.cu:14). bf16 features keep the native path.
+            prec = (jax.lax.Precision.HIGHEST
+                    if fd == jnp.float32 else None)
             wy = _hat_weights(ys_ref[j], WIN).astype(fd)  # [Sy, WIN]
             wx = _hat_weights(xs_ref[j], WIN).astype(fd)  # [Sx, WIN]
             win = win_scratch[slot, g]  # [WIN, WIN, C]
@@ -315,6 +323,7 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw, G, D,
             t = jnp.dot(
                 wy, win.reshape(WIN, WIN * C),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             ).reshape(sy, WIN, C)
             # contract x: [Sx, WIN] @ [WIN, Sy*C] (the explicit
             # transpose is Mosaic's supported layout for this step:
@@ -325,6 +334,7 @@ def _fwd_kernel_body(level_hw, nlvl, sr, ph, pw, G, D,
                 wx.astype(jnp.float32),
                 t.transpose(1, 0, 2).reshape(WIN, sy * C),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             ).reshape(sx, sy, C)
             vals = t.transpose(1, 0, 2)  # [Sy, Sx, C]
             pooled = vals.reshape(ph, sr, pw, sr, C).mean(axis=(1, 3))
@@ -361,6 +371,10 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     wy = _hat_weights(ys_ref[i], WIN)  # [Sy, WIN]
     wx = _hat_weights(xs_ref[i], WIN)
     # d pooled / d sample = 1/sr^2; expand grads to sample grid
+    # (f32 incoming grads get true-f32 MXU passes, same rationale as
+    # the forward; bf16 train grads keep the native path)
+    prec = (jax.lax.Precision.HIGHEST
+            if g_ref.dtype == jnp.float32 else None)
     g = g_ref[0].astype(jnp.float32) / float(sr * sr)  # [ph, pw, C]
     g = jnp.broadcast_to(
         g[:, None, :, None, :], (ph, sr, pw, sr, C)
@@ -369,6 +383,7 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
     bx = jnp.dot(
         wx.T, g.transpose(1, 0, 2).reshape(sx, sy * C),
         preferred_element_type=jnp.float32,
+        precision=prec,
     ).reshape(WIN, sy, C)
     b2 = bx.transpose(1, 0, 2).reshape(sy, WIN * C)
 
@@ -392,6 +407,7 @@ def _bwd_kernel_body(level_hw, nlvl, sr, ph, pw,
                     gw_slab = jnp.dot(
                         wy[:, ys0:ys0 + rows].T, b2,
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     ).reshape(rows, WIN, C)
                     for c in range(0, ww_, 32):
                         cols = min(32, ww_ - c)

@@ -127,8 +127,12 @@ def _kernel_body(rois_ref, feat_ref, out_ref, rows_vmem, sem, *, ph, pw, sr, H, 
     b_row = jax.lax.broadcasted_iota(jnp.int32, (pw, n_cols), 0)
     b_col = jax.lax.broadcasted_iota(jnp.int32, (pw, n_cols), 1)
     bin_mat = (b_row == b_col // sr).astype(jnp.float32) / (sr * sr)
+    # f32 features: HIGHEST precision so the MXU does not truncate the
+    # f32 multiplicands to bf16 (see multilevel_pallas); bf16 native
+    prec = (jax.lax.Precision.HIGHEST
+            if feat_ref.dtype == jnp.float32 else None)
     w_bin = jnp.dot(
-        bin_mat, wx, preferred_element_type=jnp.float32
+        bin_mat, wx, preferred_element_type=jnp.float32, precision=prec
     )  # [pw, W]
 
     def sample_row(i, _):
@@ -157,7 +161,8 @@ def _kernel_body(rois_ref, feat_ref, out_ref, rows_vmem, sem, *, ph, pw, sr, H, 
             y_oob, 0.0, wy_lo * rows_vmem[0] + wy_hi * rows_vmem[1]
         )  # [W, C]
         binned = jnp.dot(
-            w_bin, row, preferred_element_type=jnp.float32
+            w_bin, row, preferred_element_type=jnp.float32,
+            precision=prec,
         )  # [pw, C]
         py = i // sr
         out_ref[0, py, :, :] += binned

@@ -146,12 +146,18 @@ def _fwd_kernel_body(sr, ph, pw, G, D,
             for_window(j, slot, g, start=False)
 
             fd = win_scratch.dtype
+            # f32 features: HIGHEST precision so the MXU does not
+            # truncate the multiplicands to bf16 (see the windowed
+            # kernel); bf16 keeps the native path
+            prec = (jax.lax.Precision.HIGHEST
+                    if fd == jnp.float32 else None)
             wy = _hat_weights(ys_ref[j], WIN).astype(fd)  # [Sy, WIN]
             wx = _hat_weights(xs_ref[j], WIN).astype(fd)  # [Sx, WIN]
             win = win_scratch[slot, g]  # [WIN, WIN, C]
             t = jnp.dot(
                 wy, win.reshape(WIN, WIN * C),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             ).reshape(sy, WIN, C)
             # (explicit transpose: Mosaic's supported layout — see the
             # windowed kernel for the failed alternatives)
@@ -159,6 +165,7 @@ def _fwd_kernel_body(sr, ph, pw, G, D,
                 wx.astype(jnp.float32),
                 t.transpose(1, 0, 2).reshape(WIN, sy * C),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             ).reshape(sx, sy, C)
             vals = t.transpose(1, 0, 2)  # [Sy, Sx, C]
             pooled = vals.reshape(ph, sr, pw, sr, C).mean(axis=(1, 3))
@@ -182,6 +189,8 @@ def _bwd_kernel_body(sr, ph, pw,
 
     wy = _hat_weights(ys_ref[i], WIN)  # [Sy, WIN]
     wx = _hat_weights(xs_ref[i], WIN)
+    prec = (jax.lax.Precision.HIGHEST
+            if g_ref.dtype == jnp.float32 else None)
     g = g_ref[0].astype(jnp.float32) / float(sr * sr)  # [ph, pw, C]
     g = jnp.broadcast_to(
         g[:, None, :, None, :], (ph, sr, pw, sr, C)
@@ -189,6 +198,7 @@ def _bwd_kernel_body(sr, ph, pw,
     bx = jnp.dot(
         wx.T, g.transpose(1, 0, 2).reshape(sx, sy * C),
         preferred_element_type=jnp.float32,
+        precision=prec,
     ).reshape(WIN, sy, C)
     b2 = bx.transpose(1, 0, 2).reshape(sy, WIN * C)
 
@@ -207,6 +217,7 @@ def _bwd_kernel_body(sr, ph, pw,
                 gw_slab = jnp.dot(
                     wy[:, ys0:ys0 + rows].T, b2,
                     preferred_element_type=jnp.float32,
+                    precision=prec,
                 ).reshape(rows, WIN, C)
                 for c in range(0, WIN, 32):
                     cols = min(32, WIN - c)
