@@ -123,6 +123,11 @@ def main():
         "gather": ("gather", "compute"),
         "pallas": ("pallas", "compute"),
         "pallas_f32": ("pallas", "float32"),
+        # both poolers forced to true f32 on the same bf16-quantized
+        # features: isolates kernel-vs-gather arithmetic with the bf16
+        # pooling noise of BOTH baselines removed (the pallas f32 path
+        # runs HIGHEST-precision MXU passes as of round 5)
+        "gather_f32": ("gather", "float32"),
     }
     dets = {}
     for name, (kernel, pdt) in legs.items():
@@ -197,6 +202,7 @@ def main():
         "pallas_vs_gather": pair("gather", "pallas"),
         "pallas_f32_vs_gather": pair("gather", "pallas_f32"),
         "pallas_f32_vs_pallas": pair("pallas", "pallas_f32"),
+        "pallas_f32_vs_gather_f32": pair("gather_f32", "pallas_f32"),
         "geometry": f"{IMG_H}x{IMG_W}, R-50 width, 81 classes, "
                     f"1000 proposals, bf16 compute",
     }

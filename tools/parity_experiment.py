@@ -299,6 +299,14 @@ def main():
                          "800/1333 (det-parity at the real recipe's "
                          "resolution; torch side is slow — use "
                          "--eval-n)")
+    ap.add_argument("--eval-scale", type=int, default=None,
+                    help="override TEST.SCALE for BOTH frameworks' eval "
+                         "(e.g. 64 to evaluate the r50 trunk at its "
+                         "train resolution, where the short-canvas "
+                         "recipe is actually competent)")
+    ap.add_argument("--eval-max", type=int, default=None,
+                    help="override TEST.MAX_SIZE (pairs with "
+                         "--eval-scale)")
     ap.add_argument("--eval-n", type=int, default=None,
                     help="evaluate only the first N images (torch-CPU "
                          "r50 eval at 800/1333 costs minutes per image)")
@@ -337,6 +345,10 @@ def main():
     if args.bn == "freeze":
         ref = apply_reference_bn_recipe(ref)  # no-op if already affine
     cfg = our_cfg()
+    if args.eval_scale is not None:
+        cfg.TEST.SCALE = args.eval_scale
+    if args.eval_max is not None:
+        cfg.TEST.MAX_SIZE = args.eval_max
     dataset = load_dataset()
     batches = make_batches(dataset, 0 if args.eval_only else args.steps, seed=args.seed)
 
